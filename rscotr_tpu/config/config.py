@@ -96,13 +96,17 @@ def deep_merge(base: dict, child: dict, allow_list_keys: bool = False) -> dict:
     for key, val in child.items():
         if key == DELETE_KEY:
             continue
-        if (allow_list_keys and isinstance(key, str) and key.isdigit()
-                and isinstance(out, list)):
-            idx = int(key)
-            if idx >= len(out):
-                raise KeyError(f"index {idx} out of range for list of "
-                               f"length {len(out)}")
-            out[idx] = deep_merge(out[idx], val, allow_list_keys)
+        if (allow_list_keys and isinstance(val, dict)
+                and isinstance(out.get(key), list)
+                and all(isinstance(k, str) and k.isdigit() for k in val)):
+            lst = out[key]
+            for k, v in val.items():
+                idx = int(k)
+                if idx >= len(lst):
+                    raise KeyError(f"index {idx} out of range for list of "
+                                   f"length {len(lst)} at key '{key}'")
+                lst[idx] = deep_merge(lst[idx], v, allow_list_keys) \
+                    if isinstance(v, dict) else copy.deepcopy(v)
             continue
         if isinstance(val, dict):
             if val.get(DELETE_KEY, False):
