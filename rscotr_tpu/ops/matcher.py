@@ -1,0 +1,133 @@
+"""On-device Hungarian matching (JAX) + DETR match costs.
+
+Replaces the reference's host-side ``scipy.optimize.linear_sum_assignment``
+inside mmdet's ``HungarianAssigner`` (reference detr_head.py:513, configured
+at configs/multi/MTL_slvlcls_...py:170-174) — the device->host sync in the
+training hot loop. Here matching runs on device, jit/vmap-able with static
+shapes; padded GT rows carry a constant cost so they can't perturb the
+optimum for real rows.
+
+Algorithm: shortest-augmenting-path LAP with dual potentials (the same
+algorithm family as scipy's rectangular lsap), rows = GTs (nr <= nc),
+cols = queries. Exact for finite costs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(1e30)
+
+
+@jax.jit
+def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve min-cost assignment. cost: (nr, nc), nr <= nc.
+
+    Returns col4row: (nr,) int32 — the column assigned to each row.
+    """
+    nr, nc = cost.shape
+    assert nr <= nc, "rows (gts) must not exceed cols (queries)"
+    cost = cost.astype(jnp.float32)
+
+    def solve_row(cur_row, state):
+        u, v, col4row, row4col = state
+
+        # --- Dijkstra over columns for an augmenting path ----------------
+        def dij_cond(c):
+            _, _, _, _, _, sink, _ = c
+            return sink < 0
+
+        def dij_body(c):
+            i, minval, spc, path, SC, sink, SR = c
+            SR = SR.at[i].set(True)
+            r = minval + cost[i] - u[i] - v                  # (nc,)
+            upd = (r < spc) & (~SC)
+            path = jnp.where(upd, i, path)
+            spc = jnp.where(upd, r, spc)
+            masked = jnp.where(SC, INF, spc)
+            j = jnp.argmin(masked)
+            minval = masked[j]
+            SC = SC.at[j].set(True)
+            unassigned = row4col[j] < 0
+            sink = jnp.where(unassigned, j, -1)
+            i = jnp.where(unassigned, i, row4col[j])
+            return (i, minval, spc, path, SC, sink, SR)
+
+        init = (cur_row, jnp.float32(0.0),
+                jnp.full((nc,), INF), jnp.zeros((nc,), jnp.int32),
+                jnp.zeros((nc,), bool), jnp.int32(-1),
+                jnp.zeros((nr,), bool))
+        _, minval, spc, path, SC, sink, SR = jax.lax.while_loop(
+            dij_cond, dij_body, init)
+
+        # --- dual updates (scipy rectangular-lsap update rule) ------------
+        u = u.at[cur_row].add(minval)
+        rows = jnp.arange(nr)
+        safe_c4r = jnp.clip(col4row, 0, nc - 1)
+        u = u + jnp.where(SR & (rows != cur_row),
+                          minval - spc[safe_c4r], 0.0)
+        v = v - jnp.where(SC, minval - spc, 0.0)
+
+        # --- augment along the path ---------------------------------------
+        def aug_cond(c):
+            _, _, _, done = c
+            return ~done
+
+        def aug_body(c):
+            j, c4r, r4c, _ = c
+            i = path[j]
+            r4c = r4c.at[j].set(i)
+            nxt = c4r[i]
+            c4r = c4r.at[i].set(j)
+            return (nxt, c4r, r4c, i == cur_row)
+
+        _, col4row, row4col, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (sink, col4row, row4col, False))
+        return (u, v, col4row, row4col)
+
+    u = jnp.zeros((nr,), jnp.float32)
+    v = jnp.zeros((nc,), jnp.float32)
+    col4row = jnp.full((nr,), -1, jnp.int32)
+    row4col = jnp.full((nc,), -1, jnp.int32)
+    u, v, col4row, row4col = jax.lax.fori_loop(
+        0, nr, solve_row, (u, v, col4row, row4col))
+    return col4row
+
+
+hungarian_batched = jax.jit(jax.vmap(hungarian))
+
+
+# ---------------------------------------------------------------------------
+# DETR match costs (mmdet FocalLossCost / BBoxL1Cost / IoUCost semantics)
+# ---------------------------------------------------------------------------
+
+def focal_loss_cost(cls_logits: jnp.ndarray, gt_labels: jnp.ndarray,
+                    alpha: float = 0.25, gamma: float = 2.0,
+                    weight: float = 2.0, eps: float = 1e-12) -> jnp.ndarray:
+    """cls_logits: (num_query, C); gt_labels: (num_gt,) -> (num_gt, num_query)."""
+    p = jax.nn.sigmoid(cls_logits)
+    neg = -jnp.log(1.0 - p + eps) * (1.0 - alpha) * jnp.power(p, gamma)
+    pos = -jnp.log(p + eps) * alpha * jnp.power(1.0 - p, gamma)
+    cost = pos[:, gt_labels] - neg[:, gt_labels]   # (num_query, num_gt)
+    return cost.T * weight
+
+
+def bbox_l1_cost(bbox_pred: jnp.ndarray, gt_bboxes_norm: jnp.ndarray,
+                 weight: float = 5.0) -> jnp.ndarray:
+    """bbox_pred: (num_query, 4) normalized cxcywh; gt normalized cxcywh.
+    Returns (num_gt, num_query)."""
+    cost = jnp.sum(jnp.abs(bbox_pred[None, :, :] - gt_bboxes_norm[:, None, :]),
+                   axis=-1)
+    return cost * weight
+
+
+def iou_cost(bboxes_xyxy: jnp.ndarray, gt_bboxes_xyxy: jnp.ndarray,
+             mode: str = "giou", weight: float = 2.0) -> jnp.ndarray:
+    """Both in absolute xyxy. Returns (num_gt, num_query)."""
+    from rscotr_tpu.ops.box_ops import bbox_overlaps
+    overlaps = bbox_overlaps(gt_bboxes_xyxy, bboxes_xyxy, mode=mode)
+    return -overlaps * weight
