@@ -1,0 +1,253 @@
+"""High-level train/eval APIs.
+
+Capability-equivalent of /root/reference/mtl/apis/train.py: wire model,
+datasets, MultiDataLoader, optimizer, runner and hooks together from a
+composed config; ``train_model_without_det_eval`` filters det datasets out
+of the eval dict (reference train.py:123-221). Also the task-pretrain
+loader (reference multitask_learner.py:308-353) for our checkpoint format.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rscotr_tpu.data import (build_dataloaders, build_datasets,
+                             build_multidataloader)
+from rscotr_tpu.engine import (CheckpointHook, IterBasedRunner, LogHook,
+                               MultiDatasetsEvalHook, TrainStepConfig,
+                               build_optimizer, evaluate_results,
+                               find_latest_checkpoint, load_checkpoint,
+                               make_infer_steps, make_train_step,
+                               single_device_test, task_param_masks)
+from rscotr_tpu.models import build_model
+from rscotr_tpu.models.heads import CdnConfig, DetLossConfig, \
+    cdn_self_attn_mask
+from rscotr_tpu.utils import get_root_logger
+
+
+def derive_shapes(cfg) -> Dict[str, tuple]:
+    """Static input shapes per task from the data config."""
+    shapes = {}
+    for name, entry in cfg.data.items():
+        task = entry["task"]
+        opts = dict(entry.get("loader", {}))
+        bs = entry["data"].get("samples_per_gpu", 1)
+        if task == "cls":
+            s = opts.get("cls_size", 224)
+            shapes["cls"] = (bs, s, s, 3)
+        elif task == "det":
+            hb, wb = opts.get("det_bucket_hw", (800, 800))
+            shapes["det"] = (bs, hb, wb, 3)
+            shapes["det_max_gt"] = opts.get("max_gt", 100)
+        elif task == "seg":
+            s = opts.get("seg_size", 512)
+            shapes["seg"] = (bs, s, s, 3)
+    return shapes
+
+
+def make_step_config(cfg) -> TrainStepConfig:
+    model_cfg = cfg.model
+    tw = dict(model_cfg.get("task_weight", {"cls": 1, "det": 1, "seg": 1}))
+    cdn_cfg = det_cfg = None
+    if model_cfg.get("bbox_head"):
+        bh = model_cfg["bbox_head"]
+        dn = bh.get("dn_cfg", {}) or {}
+        gc = dn.get("group_cfg", {}) or {}
+        ns = dn.get("noise_scale", {}) or {}
+        max_gt = 100
+        for entry in cfg.data.values():
+            if entry["task"] == "det":
+                max_gt = dict(entry.get("loader", {})).get("max_gt", 100)
+        cdn_cfg = CdnConfig(
+            num_classes=bh.get("num_classes", 20),
+            num_queries=bh.get("num_query", 600),
+            max_gt=max_gt,
+            num_dn_queries=gc.get("num_dn_queries", 100) or 100,
+            label_noise_scale=ns.get("label", 0.5),
+            box_noise_scale=ns.get("box", 1.0))
+        lc = bh.get("loss_cls", {}) or {}
+        lb = bh.get("loss_bbox", {}) or {}
+        li = bh.get("loss_iou", {}) or {}
+        tc = (cfg.model.get("train_cfg", {}) or {}).get("det", {}) or {}
+        asn = tc.get("assigner", {}) or {}
+        det_cfg = DetLossConfig(
+            num_classes=bh.get("num_classes", 20),
+            loss_cls_weight=lc.get("loss_weight", 1.0),
+            loss_bbox_weight=lb.get("loss_weight", 5.0),
+            loss_iou_weight=li.get("loss_weight", 2.0),
+            cost_cls_weight=(asn.get("cls_cost", {}) or {}).get(
+                "weight", 2.0),
+            cost_bbox_weight=(asn.get("reg_cost", {}) or {}).get(
+                "weight", 5.0),
+            cost_iou_weight=(asn.get("iou_cost", {}) or {}).get(
+                "weight", 2.0),
+            focal_alpha=lc.get("alpha", 0.25),
+            focal_gamma=lc.get("gamma", 2.0))
+
+    cls_cfg = model_cfg.get("cls_head") or {}
+    loss_cfg = cls_cfg.get("loss", {}) or {}
+    train_cls = (model_cfg.get("train_cfg", {}) or {}).get("cls", {}) or {}
+    return TrainStepConfig(
+        task_weight=tw,
+        cls_num_classes=cls_cfg.get("num_classes", 45),
+        cls_label_smooth=loss_cfg.get("label_smooth_val", 0.1),
+        cls_use_augments=bool(train_cls.get("augments")),
+        seg_ignore_index=255,
+        cdn=cdn_cfg, det=det_cfg)
+
+
+def init_model_params(model, cfg, seed: int = 0):
+    """Initialize all params by running every configured task once on
+    minimal static shapes (batch 1 to keep init cheap)."""
+    shapes = derive_shapes(cfg)
+    rng = jax.random.key(seed)
+    kwargs = {}
+    if "cls" in shapes and model.cls_head is not None:
+        s = shapes["cls"]
+        kwargs["cls_img"] = jnp.zeros((1,) + s[1:])
+    if "det" in shapes and model.bbox_head is not None:
+        s = shapes["det"]
+        kwargs["det_img"] = jnp.zeros((1,) + s[1:])
+        kwargs["det_img_hw"] = jnp.asarray([[s[1], s[2]]], jnp.int32)
+        step_cfg = make_step_config(cfg)
+        if step_cfg.cdn is not None:
+            C = model.bbox_head.embed_dims
+            kwargs["dn_label_query"] = jnp.zeros(
+                (1, step_cfg.cdn.pad_size, C))
+            kwargs["dn_bbox_query"] = jnp.zeros(
+                (1, step_cfg.cdn.pad_size, 4))
+            kwargs["attn_mask"] = jnp.asarray(
+                cdn_self_attn_mask(step_cfg.cdn))
+    if "seg" in shapes and model.seg_head is not None:
+        s = shapes["seg"]
+        kwargs["seg_img"] = jnp.zeros((1,) + s[1:])
+    return model.init(rng, **kwargs)
+
+
+def load_task_pretrain(params, pretrain_path: str, rule: str = "dino_mmdet"):
+    """Load a single-task DINO checkpoint (our format), remapping its
+    bbox_head encoder into shared_encoder (reference
+    multitask_learner.py:308-353 behavior for rule 'dino_mmdet')."""
+    logger = get_root_logger()
+    ck = load_checkpoint(pretrain_path)
+    src = ck["params"]["params"] if "params" in ck["params"] else \
+        ck["params"]
+    dst = jax.tree.map(lambda x: x, params)  # copy structure
+    loaded = []
+    for top in ("backbone", "neck", "bbox_head", "shared_encoder"):
+        if top in src and top in dst["params"]:
+            try:
+                jax.tree.map(lambda a, b: None, dst["params"][top],
+                             src[top])
+                dst["params"][top] = src[top]
+                loaded.append(top)
+            except ValueError:
+                logger.warning("task_pretrain: skipping %s "
+                               "(structure mismatch)", top)
+    logger.info("task_pretrain(%s) loaded: %s", rule, loaded)
+    return dst
+
+
+def make_eval_fn(cfg, model, max_per_img: int = 300,
+                 skip_det: bool = False, max_batches: int = 0):
+    val_datasets = build_datasets(cfg.data, split="val")
+    if not val_datasets:
+        val_datasets = build_datasets(cfg.data, split="test")
+    if skip_det:
+        val_datasets = {k: v for k, v in val_datasets.items()
+                        if v.task != "det"}
+    loaders = build_dataloaders(val_datasets, cfg.data, train=False)
+    infer = make_infer_steps(model, max_per_img=max_per_img)
+    eval_kwargs = {t: dict(cfg.get("evaluation", {}).get(t, {}))
+                   for t in ("cls", "det", "seg")}
+
+    def eval_fn(runner):
+        results = single_device_test(infer, runner.params, loaders,
+                                     max_batches=max_batches)
+        return evaluate_results(val_datasets, results, eval_kwargs)
+
+    return eval_fn
+
+
+def train_model(cfg, work_dir: str, seed: int = 0,
+                validate: bool = True, resume_from: Optional[str] = None,
+                auto_resume: bool = False, load_task_pretrain_path=None,
+                skip_det_eval: bool = False, max_iters_override=None):
+    logger = get_root_logger(os.path.join(work_dir, "train.log"))
+    model = build_model(cfg.model)
+    params = init_model_params(model, cfg, seed)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(params["params"]))
+    logger.info("model built: %.2fM params", n_params / 1e6)
+
+    if load_task_pretrain_path:
+        params = load_task_pretrain(params, load_task_pretrain_path)
+
+    max_iters = max_iters_override or cfg.get(
+        "runner", {}).get("max_iters", 300000)
+    lr_cfg = dict(cfg.get("lr_config", {}) or {})
+    lr_cfg.setdefault("max_iters", max_iters)
+    optimizer = build_optimizer(
+        cfg.optimizer, params["params"], lr_config=lr_cfg,
+        grad_clip=(cfg.get("optimizer_config", {}) or {}).get("grad_clip"))
+    opt_state = optimizer.init(params["params"])
+
+    cls_head_cfg = cfg.model.get("cls_head") or {}
+    masks = task_param_masks(
+        params["params"],
+        cls_uses_encoder=(cls_head_cfg.get("type") == "MlvlClsHead"))
+    step_cfg = make_step_config(cfg)
+    tasks_present = {e["task"] for e in cfg.data.values()}
+    steps = {t: make_train_step(model, optimizer, t, step_cfg, masks.get(t))
+             for t in tasks_present}
+
+    datasets = build_datasets(cfg.data, split="train")
+    multi_loader = build_multidataloader(cfg, datasets, seed=seed)
+
+    start_step = 0
+    if auto_resume and resume_from is None:
+        resume_from = find_latest_checkpoint(work_dir)
+    if resume_from:
+        ck = load_checkpoint(resume_from)
+        params = ck["params"]
+        if ck.get("opt_state") is not None:
+            opt_state = ck["opt_state"]
+        start_step = int(ck["meta"].get("iter", 0))
+        logger.info("resumed from %s @ iter %d", resume_from, start_step)
+
+    runner = IterBasedRunner(steps, params, opt_state, max_iters,
+                             rng_seed=seed, start_step=start_step)
+    log_cfg = cfg.get("log_config", {}) or {}
+    runner.register_hook(LogHook(interval=log_cfg.get("interval", 300),
+                                 work_dir=work_dir))
+    ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
+    classes_meta = {n: list(ds.CLASSES) for n, ds in datasets.items()}
+    runner.register_hook(CheckpointHook(
+        interval=ckpt_cfg.get("interval", 100000), work_dir=work_dir,
+        meta={"CLASSES": classes_meta}))
+    if validate:
+        ev = cfg.get("evaluation", {}) or {}
+        eval_fn = make_eval_fn(
+            cfg, model,
+            max_per_img=(cfg.model.get("test_cfg", {}) or {}).get(
+                "det", {}).get("max_per_img", 300),
+            skip_det=skip_det_eval)
+        runner.register_hook(MultiDatasetsEvalHook(
+            eval_fn, interval=ev.get("interval", 15000),
+            save_best=ev.get("save_best"), work_dir=work_dir))
+
+    runner.run(multi_loader)
+    return runner
+
+
+def train_model_without_det_eval(cfg, work_dir: str, **kwargs):
+    """Same but det datasets filtered from eval (reference
+    train.py:123-221 / :196-198)."""
+    kwargs["skip_det_eval"] = True
+    return train_model(cfg, work_dir, **kwargs)

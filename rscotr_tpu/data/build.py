@@ -1,0 +1,128 @@
+"""Data builders: two-level config composition -> datasets -> loaders.
+
+Capability-equivalent of /root/reference/mtl/data/build.py:
+* ``load_data_cfg``: each ``cfg.data.<name>`` entry carries ``task`` and
+  ``config: <path>``; the referenced per-dataset config file is loaded and
+  inlined, with sibling ``data`` overrides deep-merged (build.py:31-40).
+* ``build_datasets(split)`` tags each dataset with ``.task`` (43-50).
+* ``build_dataloaders`` applies per-task loader args; TPU-first additions:
+  a static detection bucket (``det_bucket_hw``, default (800, 800) for
+  DIOR's square images) and ``max_gt`` GT padding.
+* ``build_iteration_strategy`` (default round_robin) prints a 300-draw
+  histogram sanity check like the reference (build.py:79-87).
+* ``build_multidataloader`` assembles the MultiDataLoader.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from rscotr_tpu.config import Config, ConfigDict, DATASETS, deep_merge
+from rscotr_tpu.data.iteration_strategies import strategies_map
+from rscotr_tpu.data.loader import (MultiDataLoader, TaskDataLoader,
+                                    collate_cls, collate_det, collate_seg)
+from rscotr_tpu.data.pipelines import build_pipeline
+from rscotr_tpu.utils import get_root_logger
+
+
+def load_data_cfg(cfg, config_root: Optional[str] = None):
+    """Inline each dataset's config file under cfg.data.<name>."""
+    root = config_root or os.getcwd()
+    for name in list(cfg.data.keys()):
+        entry = cfg.data[name]
+        if "config" not in entry:
+            continue
+        path = entry["config"]
+        if not os.path.isabs(path):
+            cands = [os.path.join(root, path), path]
+            if cfg.filename:
+                cands.insert(0, os.path.join(
+                    os.path.dirname(cfg.filename), "..", "..", path))
+            for cand in cands:
+                if os.path.isfile(cand):
+                    path = cand
+                    break
+        sub = Config.fromfile(path)
+        merged = deep_merge({"data": sub.get("data", {})},
+                            {"data": dict(entry.get("data", {}))})
+        entry["data"] = merged["data"]
+        for k in ("evaluation",):
+            if k in sub and k not in entry:
+                entry[k] = sub.get(k)
+    return cfg
+
+
+def build_dataset(ds_cfg: dict):
+    ds_cfg = dict(ds_cfg)
+    pipeline_cfg = ds_cfg.pop("pipeline", None)
+    ds = DATASETS.build(ds_cfg)
+    ds.pipeline_cfg = pipeline_cfg
+    return ds
+
+
+def build_datasets(data_cfg, split: str = "train") -> Dict[str, object]:
+    """data_cfg: cfg.data (dict of name -> {task, data: {train/val/test}})."""
+    out = {}
+    for name, entry in data_cfg.items():
+        dcfg = entry["data"].get(split)
+        if dcfg is None:
+            continue
+        ds = build_dataset(dcfg)
+        ds.task = entry["task"]
+        ds.dataset_name = name
+        out[name] = ds
+    return out
+
+
+_COLLATES = {
+    "cls": lambda opts: collate_cls,
+    "det": lambda opts: (lambda samples: collate_det(
+        samples, bucket_hw=opts.get("det_bucket_hw", (800, 800)),
+        max_gt=opts.get("max_gt", 100))),
+    "seg": lambda opts: (lambda samples: collate_seg(
+        samples, size=opts.get("seg_size", 512))),
+}
+
+
+def build_dataloaders(datasets: Dict[str, object], data_cfg,
+                      train: bool = True, seed: int = 0,
+                      num_threads: int = 4) -> Dict[str, TaskDataLoader]:
+    loaders = {}
+    for name, ds in datasets.items():
+        entry = data_cfg[name]
+        opts = dict(entry.get("loader", {}))
+        bs = entry["data"].get("samples_per_gpu", 1) if train else \
+            entry["data"].get("test_samples_per_gpu", 1)
+        pipeline = build_pipeline(ds.pipeline_cfg or [])
+        loaders[name] = TaskDataLoader(
+            ds, batch_size=bs, pipeline=pipeline,
+            collate_fn=_COLLATES[ds.task](opts),
+            shuffle=train, seed=seed, drop_last=train,
+            num_threads=num_threads)
+    return loaders
+
+
+def build_iteration_strategy(cfg, loaders, seed: int = 0):
+    icfg = dict(cfg.get("iteration_strategy",
+                        {"type": "round_robin"}) or
+                {"type": "round_robin"})
+    t = icfg.pop("type", "round_robin")
+    strategy = strategies_map[t](loaders, seed=seed, **icfg)
+    # reference sanity check: empirical 300-draw histogram (build.py:79-87)
+    probe = strategies_map[t](loaders, seed=seed, **icfg)
+    draws = [probe() for _ in range(300)]
+    hist = np.bincount(draws, minlength=len(loaders))
+    get_root_logger().info(
+        "iteration strategy '%s' empirical ratios over 300 draws: %s",
+        t, dict(zip(loaders.keys(), (hist / 300).round(3).tolist())))
+    return strategy
+
+
+def build_multidataloader(cfg, datasets: Dict[str, object],
+                          seed: int = 0) -> MultiDataLoader:
+    loaders = build_dataloaders(datasets, cfg.data, train=True, seed=seed)
+    strategy = build_iteration_strategy(cfg, loaders, seed=seed)
+    return MultiDataLoader(loaders, strategy)

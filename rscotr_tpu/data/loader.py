@@ -1,0 +1,232 @@
+"""Data loaders: per-task static-shape batching + background prefetch.
+
+Capability-equivalent of the reference's per-toolkit DataLoader shims
+(/root/reference/mtl/data/prepare_loader_args.py) redesigned TPU-first:
+every batch has a STATIC shape per task (one compiled step per task):
+
+* cls: img (B, 224, 224, 3), gt_label (B,)
+* det: img (B, Hb, Wb, 3) padded to a fixed bucket, img_hw (B, 2),
+  scale_factor (B, 4), gt_bboxes (B, MAX_GT, 4) xyxy in padded-image coords,
+  gt_labels (B, MAX_GT), gt_valid (B, MAX_GT)
+* seg: img (B, 512, 512, 3), gt_semantic_seg (B, 512, 512)
+
+Workers are threads (PIL releases the GIL for decode); a native C++ loader
+can slot behind the same iterator protocol later.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from rscotr_tpu.data.pipelines import run_pipeline
+
+
+def collate_cls(samples: List[dict]) -> Dict[str, np.ndarray]:
+    return {
+        "img": np.stack([s["img"] for s in samples]).astype(np.float32),
+        "gt_label": np.asarray([s["gt_label"] for s in samples], np.int32),
+    }
+
+
+def collate_det(samples: List[dict], bucket_hw, max_gt: int
+                ) -> Dict[str, np.ndarray]:
+    B = len(samples)
+    H, W = bucket_hw
+    img = np.zeros((B, H, W, 3), np.float32)
+    img_hw = np.zeros((B, 2), np.int32)
+    scale_factor = np.ones((B, 4), np.float32)
+    gt_bboxes = np.zeros((B, max_gt, 4), np.float32)
+    gt_labels = np.zeros((B, max_gt), np.int32)
+    gt_valid = np.zeros((B, max_gt), bool)
+    for i, s in enumerate(samples):
+        im = s["img"]
+        h, w = im.shape[:2]
+        assert h <= H and w <= W, f"image {h}x{w} exceeds bucket {H}x{W}"
+        img[i, :h, :w] = im
+        img_hw[i] = (h, w)
+        scale_factor[i] = s.get("scale_factor", np.ones(4, np.float32))
+        boxes = s.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        labels = s.get("gt_labels", np.zeros((0,), np.int32))
+        n = min(len(boxes), max_gt)
+        gt_bboxes[i, :n] = boxes[:n]
+        gt_labels[i, :n] = labels[:n]
+        gt_valid[i, :n] = True
+    return {"img": img, "img_hw": img_hw, "scale_factor": scale_factor,
+            "gt_bboxes": gt_bboxes, "gt_labels": gt_labels,
+            "gt_valid": gt_valid}
+
+
+def collate_seg(samples: List[dict], size: int = 512
+                ) -> Dict[str, np.ndarray]:
+    B = len(samples)
+    img = np.zeros((B, size, size, 3), np.float32)
+    seg = np.full((B, size, size), 255, np.int32)
+    img_hw = np.zeros((B, 2), np.int32)
+    for i, s in enumerate(samples):
+        im = s["img"]
+        h, w = im.shape[:2]
+        img[i, :h, :w] = im[:size, :size]
+        img_hw[i] = (min(h, size), min(w, size))
+        if "gt_semantic_seg" in s:
+            sg = s["gt_semantic_seg"]
+            seg[i, :min(h, size), :min(w, size)] = \
+                sg[:size, :size]
+    return {"img": img, "gt_semantic_seg": seg, "img_hw": img_hw}
+
+
+class TaskDataLoader:
+    """Shuffling, epoch-based iterator with threaded sample preparation."""
+
+    def __init__(self, dataset, batch_size: int, pipeline=None,
+                 collate_fn: Callable = None, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 num_threads: int = 4, infinite: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.pipeline = pipeline or []
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.infinite = infinite
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _index_order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.Generator(
+                np.random.PCG64(self.seed * 1000003 + self._epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def _prepare(self, idx: int, sample_seed: int) -> dict:
+        s = self.dataset[idx]
+        rng = np.random.Generator(np.random.PCG64(sample_seed))
+        if self.pipeline:
+            s = run_pipeline(self.pipeline, s, rng)
+        return s
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = self._epoch
+        while True:
+            order = self._index_order()
+            nb = len(self)
+            for b in range(nb):
+                chunk = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    break
+                seeds = [self.seed * 7 + epoch * 1000003 + int(i)
+                         for i in chunk]
+                if self.num_threads > 1 and len(chunk) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(self.num_threads) as ex:
+                        samples = list(ex.map(self._prepare, chunk, seeds))
+                else:
+                    samples = [self._prepare(int(i), s)
+                               for i, s in zip(chunk, seeds)]
+                yield self.collate_fn(samples)
+            if not self.infinite:
+                return
+            epoch += 1
+            self._epoch = epoch
+
+
+class PrefetchIterator:
+    """Wraps an iterator with a background prefetch thread."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._it = it
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for x in self._it:
+                self._q.put(x)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        x = self._q.get()
+        if x is self._done:
+            raise StopIteration
+        return x
+
+
+class MultiDataLoader:
+    """Interleaves per-dataset loaders under an iteration strategy.
+
+    Capability-equivalent of the reference MultiDataLoader
+    (/root/reference/mtl/data/multi_data_loader.py:17-204): each __next__
+    consults the strategy for a dataset index, pulls one batch, annotates it
+    with ``dataset_name`` and ``task``. Strategies with
+    should_exhaust_all_iterators end the epoch when ALL children are
+    exhausted; others silently re-ignite exhausted children.
+    """
+
+    def __init__(self, loaders: Dict[str, TaskDataLoader], strategy):
+        assert len(loaders) > 0
+        self.loaders = loaders
+        self.names = list(loaders.keys())
+        self.strategy = strategy
+        self._iters: Dict[str, Iterator] = {}
+        self._finished: Dict[str, bool] = {}
+
+    @property
+    def dataset_names(self):
+        return self.names
+
+    def __iter__(self):
+        self._iters = {n: iter(dl) for n, dl in self.loaders.items()}
+        self._finished = {n: False for n in self.names}
+        return self
+
+    def __next__(self) -> Dict[str, object]:
+        exhaust_all = getattr(self.strategy,
+                              "should_exhaust_all_iterators", False)
+        for _ in range(len(self.names) * 4 + 8):
+            idx = self.strategy()
+            name = self.names[idx]
+            if exhaust_all and self._finished[name]:
+                if all(self._finished.values()):
+                    raise StopIteration
+                continue
+            try:
+                batch = next(self._iters[name])
+            except StopIteration:
+                if exhaust_all:
+                    self._finished[name] = True
+                    if all(self._finished.values()):
+                        raise StopIteration
+                    continue
+                self._iters[name] = iter(self.loaders[name])
+                batch = next(self._iters[name])
+            batch = dict(batch)
+            batch["dataset_name"] = name
+            batch["task"] = self.loaders[name].dataset.task
+            return batch
+        raise StopIteration
+
+    def seed_sampler(self, epoch: int):
+        for dl in self.loaders.values():
+            dl.set_epoch(epoch)

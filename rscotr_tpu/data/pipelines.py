@@ -1,0 +1,486 @@
+"""Host-side data transforms (numpy/PIL).
+
+Capability-equivalents of the mm pipelines the reference configures
+(configs/_base_/{cls,det,seg}, SURVEY.md §2.4): RandomResizedCrop,
+RandAugment, RandomErasing (cls); keep-ratio Resize, RandomFlip, Pad (det);
+ratio-range Resize, RandomCrop w/ cat_max_ratio, PhotoMetricDistortion (seg);
+Normalize everywhere.
+
+Each transform is ``__call__(results: dict, rng: np.random.Generator)``.
+``results`` carries: img (H, W, 3 float32 RGB), optional gt_label /
+gt_bboxes (N,4 xyxy) / gt_labels / gt_semantic_seg, and meta keys ori_shape,
+img_shape, scale_factor, flip. Images stay NHWC; final device-side
+normalization/padding can be fused on TPU, but the baseline path normalizes
+on host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from rscotr_tpu.config.registry import PIPELINES
+
+try:
+    from PIL import Image, ImageEnhance, ImageOps
+    HAS_PIL = True
+except Exception:  # pragma: no cover
+    HAS_PIL = False
+
+DEFAULT_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+DEFAULT_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def _to_pil(img: np.ndarray) -> "Image.Image":
+    return Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+
+
+def _from_pil(im: "Image.Image") -> np.ndarray:
+    return np.asarray(im, np.float32)
+
+
+def _resize_img(img, hw, interpolation="bilinear"):
+    order = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+             "nearest": Image.NEAREST}[interpolation]
+    im = _to_pil(img).resize((hw[1], hw[0]), order)
+    return _from_pil(im)
+
+
+def _resize_seg(seg, hw):
+    im = Image.fromarray(seg.astype(np.uint8)).resize(
+        (hw[1], hw[0]), Image.NEAREST)
+    return np.asarray(im, seg.dtype)
+
+
+@PIPELINES.register_module(name="Normalize")
+class Normalize:
+    def __init__(self, mean=DEFAULT_MEAN, std=DEFAULT_STD, to_rgb=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        # to_rgb is a no-op: we load RGB already (mmcv loads BGR)
+
+    def __call__(self, results, rng=None):
+        results["img"] = (results["img"] - self.mean) / self.std
+        return results
+
+
+@PIPELINES.register_module(name="Resize")
+class Resize:
+    """mmdet/mmseg-style resize.
+
+    keep_ratio: scale so long side <= max(img_scale) and short side <=
+    min(img_scale). ratio_range: sample a ratio multiplier first (seg).
+    Fixed size tuple without keep_ratio: exact resize (cls test).
+    """
+
+    def __init__(self, img_scale=None, size=None, keep_ratio=True,
+                 ratio_range=None, interpolation="bilinear", backend=None):
+        self.img_scale = img_scale or size
+        self.keep_ratio = keep_ratio
+        self.ratio_range = ratio_range
+        self.interpolation = interpolation
+
+    def __call__(self, results, rng=None):
+        img = results["img"]
+        h, w = img.shape[:2]
+        scale = self.img_scale
+        if self.ratio_range is not None:
+            lo, hi = self.ratio_range
+            r = rng.uniform(lo, hi) if rng is not None else 1.0
+            scale = (int(scale[0] * r), int(scale[1] * r))
+        if self.keep_ratio:
+            long_side, short_side = max(scale), min(scale)
+            f = min(long_side / max(h, w), short_side / min(h, w))
+            new_hw = (int(h * f + 0.5), int(w * f + 0.5))
+        else:
+            new_hw = (scale[0], scale[1]) if isinstance(scale, (tuple, list)) \
+                else (scale, scale)
+        wf = new_hw[1] / w
+        hf = new_hw[0] / h
+        results["img"] = _resize_img(img, new_hw, self.interpolation)
+        results["img_shape"] = results["img"].shape
+        results["scale_factor"] = np.array([wf, hf, wf, hf], np.float32)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            results["gt_bboxes"] = results["gt_bboxes"] * \
+                results["scale_factor"]
+        if "gt_semantic_seg" in results:
+            results["gt_semantic_seg"] = _resize_seg(
+                results["gt_semantic_seg"], new_hw)
+        return results
+
+
+@PIPELINES.register_module(name="RandomFlip")
+class RandomFlip:
+    def __init__(self, prob=0.5, flip_prob=None, flip_ratio=None,
+                 direction="horizontal"):
+        self.prob = flip_prob if flip_prob is not None else \
+            (flip_ratio if flip_ratio is not None else prob)
+        self.direction = direction
+
+    def __call__(self, results, rng=None):
+        do = rng.uniform() < self.prob if (rng is not None and
+                                           self.prob) else False
+        results["flip"] = bool(do)
+        results["flip_direction"] = self.direction
+        if not do:
+            return results
+        img = results["img"]
+        if self.direction == "horizontal":
+            results["img"] = img[:, ::-1].copy()
+            if "gt_bboxes" in results and len(results["gt_bboxes"]):
+                w = img.shape[1]
+                b = results["gt_bboxes"].copy()
+                b[:, [0, 2]] = w - results["gt_bboxes"][:, [2, 0]]
+                results["gt_bboxes"] = b
+            if "gt_semantic_seg" in results:
+                results["gt_semantic_seg"] = \
+                    results["gt_semantic_seg"][:, ::-1].copy()
+        else:
+            results["img"] = img[::-1].copy()
+            if "gt_semantic_seg" in results:
+                results["gt_semantic_seg"] = \
+                    results["gt_semantic_seg"][::-1].copy()
+        return results
+
+
+@PIPELINES.register_module(name="Pad")
+class Pad:
+    def __init__(self, size=None, size_divisor=None, pad_val=0,
+                 seg_pad_val=255):
+        self.size = size
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val
+        self.seg_pad_val = seg_pad_val
+
+    def __call__(self, results, rng=None):
+        img = results["img"]
+        h, w = img.shape[:2]
+        if self.size is not None:
+            th, tw = self.size
+        else:
+            d = self.size_divisor
+            th, tw = ((h + d - 1) // d) * d, ((w + d - 1) // d) * d
+        pad_h, pad_w = max(th - h, 0), max(tw - w, 0)
+        results["img"] = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
+                                constant_values=self.pad_val)
+        results["pad_shape"] = results["img"].shape
+        if "gt_semantic_seg" in results:
+            results["gt_semantic_seg"] = np.pad(
+                results["gt_semantic_seg"], ((0, pad_h), (0, pad_w)),
+                constant_values=self.seg_pad_val)
+        return results
+
+
+@PIPELINES.register_module(name="RandomResizedCrop")
+class RandomResizedCrop:
+    def __init__(self, size=224, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                 interpolation="bicubic", backend=None):
+        self.size = size if isinstance(size, (tuple, list)) else (size, size)
+        self.scale = scale
+        self.ratio = ratio
+        self.interpolation = interpolation
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        h, w = img.shape[:2]
+        area = h * w
+        for _ in range(10):
+            target_area = rng.uniform(*self.scale) * area
+            ar = np.exp(rng.uniform(np.log(self.ratio[0]),
+                                    np.log(self.ratio[1])))
+            cw = int(round(np.sqrt(target_area * ar)))
+            ch = int(round(np.sqrt(target_area / ar)))
+            if 0 < cw <= w and 0 < ch <= h:
+                y = int(rng.integers(0, h - ch + 1))
+                x = int(rng.integers(0, w - cw + 1))
+                crop = img[y:y + ch, x:x + cw]
+                results["img"] = _resize_img(crop, self.size,
+                                             self.interpolation)
+                results["img_shape"] = results["img"].shape
+                return results
+        # fallback: center crop
+        s = min(h, w)
+        y, x = (h - s) // 2, (w - s) // 2
+        results["img"] = _resize_img(img[y:y + s, x:x + s], self.size,
+                                     self.interpolation)
+        results["img_shape"] = results["img"].shape
+        return results
+
+
+@PIPELINES.register_module(name="RandomCrop")
+class RandomCrop:
+    """Seg random crop with cat_max_ratio re-draws (mmseg semantics)."""
+
+    def __init__(self, crop_size=(512, 512), cat_max_ratio=1.0,
+                 ignore_index=255):
+        self.crop_size = crop_size
+        self.cat_max_ratio = cat_max_ratio
+        self.ignore_index = ignore_index
+
+    def _crop_box(self, shape, rng):
+        h, w = shape[:2]
+        ch = min(self.crop_size[0], h)
+        cw = min(self.crop_size[1], w)
+        y = int(rng.integers(0, h - ch + 1))
+        x = int(rng.integers(0, w - cw + 1))
+        return y, x, ch, cw
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        box = self._crop_box(img.shape, rng)
+        if self.cat_max_ratio < 1.0 and "gt_semantic_seg" in results:
+            for _ in range(10):
+                y, x, ch, cw = box
+                seg = results["gt_semantic_seg"][y:y + ch, x:x + cw]
+                labels, cnt = np.unique(seg, return_counts=True)
+                cnt = cnt[labels != self.ignore_index]
+                if len(cnt) > 1 and cnt.max() / cnt.sum() < \
+                        self.cat_max_ratio:
+                    break
+                box = self._crop_box(img.shape, rng)
+        y, x, ch, cw = box
+        results["img"] = img[y:y + ch, x:x + cw]
+        results["img_shape"] = results["img"].shape
+        if "gt_semantic_seg" in results:
+            results["gt_semantic_seg"] = \
+                results["gt_semantic_seg"][y:y + ch, x:x + cw]
+        return results
+
+
+@PIPELINES.register_module(name="PhotoMetricDistortion")
+class PhotoMetricDistortion:
+    """mmseg photometric distortion: brightness/contrast/saturation/hue."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results, rng):
+        img = results["img"].astype(np.float32)
+        if rng.integers(2):
+            img = img + rng.uniform(-self.brightness_delta,
+                                    self.brightness_delta)
+        contrast_last = rng.integers(2)
+        if not contrast_last and rng.integers(2):
+            img = img * rng.uniform(*self.contrast_range)
+        # saturation & hue in HSV
+        if rng.integers(2) or rng.integers(2):
+            import colorsys  # noqa: F401  (documentational)
+            img_c = np.clip(img, 0, 255).astype(np.uint8)
+            hsv = np.asarray(Image.fromarray(img_c).convert("HSV"),
+                             np.float32)
+            if rng.integers(2):
+                hsv[..., 1] = np.clip(
+                    hsv[..., 1] * rng.uniform(*self.saturation_range),
+                    0, 255)
+            if rng.integers(2):
+                hsv[..., 0] = (hsv[..., 0] +
+                               rng.uniform(-self.hue_delta,
+                                           self.hue_delta)) % 256
+            img = np.asarray(
+                Image.fromarray(hsv.astype(np.uint8),
+                                "HSV").convert("RGB"), np.float32)
+        if contrast_last and rng.integers(2):
+            img = img * rng.uniform(*self.contrast_range)
+        results["img"] = np.clip(img, 0, 255)
+        return results
+
+
+@PIPELINES.register_module(name="RandomErasing")
+class RandomErasing:
+    def __init__(self, erase_prob=0.25, mode="rand", min_area_ratio=0.02,
+                 max_area_ratio=1 / 3, aspect_range=(0.3, 3.33),
+                 fill_color=(128, 128, 128), fill_std=(0, 0, 0)):
+        self.erase_prob = erase_prob
+        self.min_area_ratio = min_area_ratio
+        self.max_area_ratio = max_area_ratio
+        self.aspect_range = aspect_range
+        self.mode = mode
+        self.fill_color = np.asarray(fill_color, np.float32)
+        self.fill_std = np.asarray(fill_std, np.float32)
+
+    def __call__(self, results, rng):
+        if rng.uniform() > self.erase_prob:
+            return results
+        img = results["img"]
+        h, w = img.shape[:2]
+        area = h * w * rng.uniform(self.min_area_ratio, self.max_area_ratio)
+        ar = np.exp(rng.uniform(np.log(self.aspect_range[0]),
+                                np.log(self.aspect_range[1])))
+        eh = min(int(round(np.sqrt(area / ar))), h)
+        ew = min(int(round(np.sqrt(area * ar))), w)
+        y = int(rng.integers(0, h - eh + 1))
+        x = int(rng.integers(0, w - ew + 1))
+        if self.mode == "rand":
+            patch = rng.normal(size=(eh, ew, 3)) * self.fill_std + \
+                self.fill_color
+        else:
+            patch = np.broadcast_to(self.fill_color, (eh, ew, 3))
+        img[y:y + eh, x:x + ew] = np.clip(patch, 0, 255)
+        results["img"] = img
+        return results
+
+
+# ---------------------------------------------------------------------------
+# RandAugment (mmcls rand_increasing_policies equivalents on PIL)
+# ---------------------------------------------------------------------------
+
+def _ra_autocontrast(img, _):
+    return _from_pil(ImageOps.autocontrast(_to_pil(img)))
+
+
+def _ra_equalize(img, _):
+    return _from_pil(ImageOps.equalize(_to_pil(img)))
+
+
+def _ra_invert(img, _):
+    return 255.0 - img
+
+
+def _ra_rotate(img, m):
+    return _from_pil(_to_pil(img).rotate(m * 30, Image.BICUBIC,
+                                         fillcolor=(124, 116, 104)))
+
+
+def _ra_posterize(img, m):
+    bits = max(1, int(round(8 - m * 4)))
+    return _from_pil(ImageOps.posterize(_to_pil(img), bits))
+
+
+def _ra_solarize(img, m):
+    thr = int(256 - m * 256)
+    return _from_pil(ImageOps.solarize(_to_pil(img), thr))
+
+
+def _ra_solarize_add(img, m):
+    add = int(m * 110)
+    out = img.copy()
+    mask = out < 128
+    out[mask] = np.clip(out[mask] + add, 0, 255)
+    return out
+
+
+def _ra_color(img, m):
+    return _from_pil(ImageEnhance.Color(_to_pil(img)).enhance(1 + m))
+
+
+def _ra_contrast(img, m):
+    return _from_pil(ImageEnhance.Contrast(_to_pil(img)).enhance(1 + m))
+
+
+def _ra_brightness(img, m):
+    return _from_pil(ImageEnhance.Brightness(_to_pil(img)).enhance(1 + m))
+
+
+def _ra_sharpness(img, m):
+    return _from_pil(ImageEnhance.Sharpness(_to_pil(img)).enhance(1 + m))
+
+
+def _ra_shear_x(img, m):
+    return _from_pil(_to_pil(img).transform(
+        _to_pil(img).size, Image.AFFINE, (1, m * 0.3, 0, 0, 1, 0),
+        Image.BICUBIC, fillcolor=(124, 116, 104)))
+
+
+def _ra_shear_y(img, m):
+    return _from_pil(_to_pil(img).transform(
+        _to_pil(img).size, Image.AFFINE, (1, 0, 0, m * 0.3, 1, 0),
+        Image.BICUBIC, fillcolor=(124, 116, 104)))
+
+
+def _ra_translate_x(img, m):
+    dx = m * 0.45 * img.shape[1]
+    return _from_pil(_to_pil(img).transform(
+        _to_pil(img).size, Image.AFFINE, (1, 0, dx, 0, 1, 0),
+        Image.BICUBIC, fillcolor=(124, 116, 104)))
+
+
+def _ra_translate_y(img, m):
+    dy = m * 0.45 * img.shape[0]
+    return _from_pil(_to_pil(img).transform(
+        _to_pil(img).size, Image.AFFINE, (1, 0, 0, 0, 1, dy),
+        Image.BICUBIC, fillcolor=(124, 116, 104)))
+
+
+RAND_AUG_OPS = [
+    ("AutoContrast", _ra_autocontrast, False),
+    ("Equalize", _ra_equalize, False),
+    ("Invert", _ra_invert, False),
+    ("Rotate", _ra_rotate, True),
+    ("Posterize", _ra_posterize, False),
+    ("Solarize", _ra_solarize, False),
+    ("SolarizeAdd", _ra_solarize_add, False),
+    ("ColorTransform", _ra_color, True),
+    ("Contrast", _ra_contrast, True),
+    ("Brightness", _ra_brightness, True),
+    ("Sharpness", _ra_sharpness, True),
+    ("Shear", _ra_shear_x, True),
+    ("ShearY", _ra_shear_y, True),
+    ("Translate", _ra_translate_x, True),
+    ("TranslateY", _ra_translate_y, True),
+]
+
+
+@PIPELINES.register_module(name="RandAugment")
+class RandAugment:
+    """num_policies random ops at magnitude_level/total_level (+noise)."""
+
+    def __init__(self, policies=None, num_policies=2, total_level=10,
+                 magnitude_level=9, magnitude_std=0.5, hparams=None):
+        self.num_policies = num_policies
+        self.total_level = total_level
+        self.magnitude_level = magnitude_level
+        self.magnitude_std = magnitude_std
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        for _ in range(self.num_policies):
+            name, fn, signed = RAND_AUG_OPS[
+                int(rng.integers(0, len(RAND_AUG_OPS)))]
+            mag = self.magnitude_level
+            if self.magnitude_std > 0:
+                mag = rng.normal(mag, self.magnitude_std)
+            m = float(np.clip(mag, 0, self.total_level)) / self.total_level
+            if signed and rng.integers(2):
+                m = -m
+            img = fn(img, m)
+        results["img"] = img
+        return results
+
+
+@PIPELINES.register_module(name="LoadImageFromFile")
+class LoadImageFromFile:
+    def __call__(self, results, rng=None):
+        path = results["img_path"]
+        im = Image.open(path).convert("RGB")
+        results["img"] = np.asarray(im, np.float32)
+        results["ori_shape"] = results["img"].shape
+        results["img_shape"] = results["img"].shape
+        return results
+
+
+def build_pipeline(cfgs: Sequence[dict]) -> List:
+    """Build a transform list from reference-shaped pipeline configs,
+    skipping torch-format bundling steps (we batch numpy directly)."""
+    skip = {"LoadImageFromFile", "LoadAnnotations", "DefaultFormatBundle",
+            "ImageToTensor", "ToTensor", "Collect", "MultiScaleFlipAug"}
+    out = []
+    for c in cfgs:
+        c = dict(c)
+        t = c.pop("type")
+        if t in skip:
+            if t == "MultiScaleFlipAug":
+                out.extend(build_pipeline(c.get("transforms", [])))
+            continue
+        out.append(PIPELINES.build({"type": t, **c}))
+    return out
+
+
+def run_pipeline(transforms, results, rng):
+    for t in transforms:
+        results = t(results, rng)
+    return results

@@ -1,0 +1,75 @@
+"""Checkpoint save/resume (orbax).
+
+Capability-equivalent of mmcv CheckpointHook + runner.resume/load_checkpoint
+as used by the reference (SURVEY.md §5.4): periodic checkpoints with meta
+(iter, per-dataset CLASSES, versions), auto-resume via latest-checkpoint
+discovery, best-checkpoint saving, and weights-only ``load_from``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ckpt_dir(work_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(work_dir), f"iter_{step}")
+
+
+def save_checkpoint(work_dir: str, step: int, params, opt_state=None,
+                    meta: Optional[Dict[str, Any]] = None,
+                    name: Optional[str] = None) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(work_dir), name) if name \
+        else _ckpt_dir(work_dir, step)
+    ckptr = ocp.PyTreeCheckpointer()
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    ckptr.save(path, state, force=True)
+    meta = dict(meta or {})
+    meta["iter"] = int(step)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, default=str)
+    latest = os.path.join(os.path.abspath(work_dir), "last_checkpoint")
+    with open(latest, "w") as f:
+        f.write(path)
+    return path
+
+
+def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), item=target)
+    meta = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    restored["meta"] = meta
+    return restored
+
+
+def find_latest_checkpoint(work_dir: str) -> Optional[str]:
+    """mmcv find_latest_checkpoint semantics (auto-resume)."""
+    if not os.path.isdir(work_dir):
+        return None
+    latest = os.path.join(work_dir, "last_checkpoint")
+    if os.path.isfile(latest):
+        with open(latest) as f:
+            p = f.read().strip()
+        if os.path.isdir(p):
+            return p
+    best, best_iter = None, -1
+    for d in os.listdir(work_dir):
+        m = re.fullmatch(r"iter_(\d+)", d)
+        if m and int(m.group(1)) > best_iter:
+            best, best_iter = os.path.join(work_dir, d), int(m.group(1))
+    return best

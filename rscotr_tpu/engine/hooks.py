@@ -1,0 +1,125 @@
+"""Runner hooks: logging, checkpointing, multi-dataset evaluation.
+
+Capability-equivalents of the reference's hook stack (SURVEY.md §2.2):
+mmcv TextLoggerHook/TensorboardLoggerHook -> LogHook (+MetricsSink),
+CheckpointHook -> CheckpointHook, ``MultiDatasetsEvalHook`` + the weighted
+multi-metric ``KeyIndicator`` save-best
+(/root/reference/mtl/runner/hooks/evaluation.py:9-148).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from rscotr_tpu.engine.checkpoint import save_checkpoint
+from rscotr_tpu.utils import MetricsSink, get_root_logger
+
+
+class Hook:
+    priority = 50
+
+    def after_train_iter(self, runner) -> None:
+        pass
+
+    def after_run(self, runner) -> None:
+        pass
+
+
+class LogHook(Hook):
+    priority = 90
+
+    def __init__(self, interval: int = 300, work_dir: str = "work_dir"):
+        self.interval = interval
+        self.sink = MetricsSink(work_dir)
+        self.logger = get_root_logger()
+        self._t0 = time.time()
+        self._iter0 = 0
+
+    def after_train_iter(self, runner) -> None:
+        if (runner.step % self.interval) != 0 and \
+                runner.step != runner.max_iters:
+            return
+        logs = {k: float(v) for k, v in runner.log_vars.items()}
+        dt = time.time() - self._t0
+        iters = max(runner.step - self._iter0, 1)
+        logs["time"] = dt / iters
+        self._t0 = time.time()
+        self._iter0 = runner.step
+        self.sink.log_scalars(runner.step, logs)
+        main = {k: round(v, 4) for k, v in logs.items()
+                if k.endswith(".loss") or k in ("loss", "time", "grad_norm")}
+        self.logger.info("iter %d/%d %s", runner.step, runner.max_iters,
+                         main)
+
+
+class CheckpointHook(Hook):
+    priority = 70
+
+    def __init__(self, interval: int = 100000, work_dir: str = "work_dir",
+                 meta: Optional[dict] = None):
+        self.interval = interval
+        self.work_dir = work_dir
+        self.meta = meta or {}
+
+    def after_train_iter(self, runner) -> None:
+        if runner.step % self.interval == 0 or \
+                runner.step == runner.max_iters:
+            save_checkpoint(self.work_dir, runner.step, runner.params,
+                            runner.opt_state, meta=self.meta)
+
+
+class KeyIndicator:
+    """Weighted multi-metric save-best key (reference evaluation.py:9-26):
+    score = mean(weight_i * metric_i)."""
+
+    def __init__(self, key_weights: Dict[str, float]):
+        self.key_weights = dict(key_weights)
+
+    def __call__(self, metrics: Dict[str, float]) -> float:
+        vals = []
+        for key, w in self.key_weights.items():
+            if key in metrics:
+                vals.append(w * float(metrics[key]))
+        return float(np.mean(vals)) if vals else float("-inf")
+
+
+class MultiDatasetsEvalHook(Hook):
+    """Runs multi-dataset evaluation every ``interval`` iters; logs metrics
+    prefixed with the dataset name; saves the best checkpoint by
+    KeyIndicator (reference evaluation.py:29-148)."""
+    priority = 30
+
+    def __init__(self, eval_fn: Callable[[Any], Dict[str, float]],
+                 interval: int = 15000,
+                 save_best: Optional[Dict[str, float]] = None,
+                 work_dir: str = "work_dir"):
+        self.eval_fn = eval_fn
+        self.interval = interval
+        self.indicator = KeyIndicator(save_best) if save_best else None
+        self.work_dir = work_dir
+        self.best_score = float("-inf")
+        self.logger = get_root_logger()
+
+    def after_train_iter(self, runner) -> None:
+        if runner.step % self.interval != 0 and \
+                runner.step != runner.max_iters:
+            return
+        metrics = self.eval_fn(runner)
+        self.logger.info("eval @ iter %d: %s", runner.step,
+                         {k: round(float(v), 4)
+                          for k, v in metrics.items()})
+        runner.log_vars.update(
+            {f"val/{k}": v for k, v in metrics.items()})
+        if self.indicator is not None:
+            score = self.indicator(metrics)
+            if score > self.best_score:
+                self.best_score = score
+                save_checkpoint(self.work_dir, runner.step, runner.params,
+                                meta={"best_score": score,
+                                      "metrics": metrics},
+                                name="best_checkpoint")
+                self.logger.info("new best score %.4f @ iter %d", score,
+                                 runner.step)

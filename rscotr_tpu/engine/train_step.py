@@ -1,0 +1,244 @@
+"""Jitted per-task train / val / inference steps.
+
+Capability-equivalent of the reference's ``MTL.train_step``/``val_step``
+(/root/reference/models/multi/multitask_learner.py:229-258): forward the
+single-task batch, sum the loss dict, scale by ``task_weight[task]``,
+namespace log vars ``{task}.{dataset_name}.{loss_name}``. The optimizer
+update applies the per-task param mask (engine/optimizer.py).
+
+TPU-first: three jitted step functions (one static graph per task —
+SURVEY.md §7 'start with 3 fns'); batch stays on device; the cls
+mixup/cutmix augments run on-device inside the step (reference runs them on
+GPU too, multitask_learner.py:119-121).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rscotr_tpu.models.heads.cdn import (CdnConfig, cdn_self_attn_mask,
+                                         generate_cdn_queries)
+from rscotr_tpu.models.heads.dino_loss import DetLossConfig, dino_loss
+from rscotr_tpu.ops.box_ops import bbox_xyxy_to_cxcywh
+from rscotr_tpu.ops.losses import label_smooth_loss, softmax_cross_entropy
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    task_weight: Dict[str, float]
+    cls_num_classes: int = 45
+    cls_label_smooth: float = 0.1
+    cls_mixup_alpha: float = 0.8
+    cls_cutmix_alpha: float = 1.0
+    cls_use_augments: bool = True
+    seg_ignore_index: int = 255
+    seg_loss_weight: float = 1.0
+    cdn: Optional[CdnConfig] = None
+    det: Optional[DetLossConfig] = None
+
+
+# ---------------------------------------------------------------------------
+# cls batch augments (mmcls BatchMixup/BatchCutMix, one chosen per batch)
+# ---------------------------------------------------------------------------
+
+def cls_batch_augment(rng, img, labels, num_classes, mixup_alpha=0.8,
+                      cutmix_alpha=1.0):
+    B, H, W, _ = img.shape
+    k_choice, k_lam_m, k_lam_c, k_perm, k_box = jax.random.split(rng, 5)
+    one = jax.nn.one_hot(labels, num_classes)
+    perm = jax.random.permutation(k_perm, B)
+
+    # mixup
+    lam_m = jax.random.beta(k_lam_m, mixup_alpha, mixup_alpha)
+    img_m = lam_m * img + (1 - lam_m) * img[perm]
+
+    # cutmix
+    lam_c = jax.random.beta(k_lam_c, cutmix_alpha, cutmix_alpha)
+    ratio = jnp.sqrt(1.0 - lam_c)
+    cw = (W * ratio).astype(jnp.int32)
+    ch = (H * ratio).astype(jnp.int32)
+    kx, ky = jax.random.split(k_box)
+    cx = jax.random.randint(kx, (), 0, W)
+    cy = jax.random.randint(ky, (), 0, H)
+    x1 = jnp.clip(cx - cw // 2, 0, W)
+    x2 = jnp.clip(cx + cw // 2, 0, W)
+    y1 = jnp.clip(cy - ch // 2, 0, H)
+    y2 = jnp.clip(cy + ch // 2, 0, H)
+    xs = jnp.arange(W)
+    ys = jnp.arange(H)
+    in_box = ((ys[:, None] >= y1) & (ys[:, None] < y2) &
+              (xs[None, :] >= x1) & (xs[None, :] < x2))
+    img_c = jnp.where(in_box[None, :, :, None], img[perm], img)
+    lam_adj = 1.0 - ((x2 - x1) * (y2 - y1)).astype(jnp.float32) / (H * W)
+
+    use_cutmix = jax.random.bernoulli(k_choice, 0.5)
+    img_out = jnp.where(use_cutmix, img_c, img_m)
+    lam = jnp.where(use_cutmix, lam_adj, lam_m)
+    target = lam * one + (1 - lam) * one[perm]
+    return img_out, target
+
+
+# ---------------------------------------------------------------------------
+# per-task loss functions
+# ---------------------------------------------------------------------------
+
+def cls_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
+                train: bool = True):
+    img = batch["img"]
+    labels = batch["gt_label"]
+    if train and cfg.cls_use_augments:
+        k_aug, rng = jax.random.split(rng)
+        img, target = cls_batch_augment(
+            k_aug, img, labels, cfg.cls_num_classes,
+            cfg.cls_mixup_alpha, cfg.cls_cutmix_alpha)
+    else:
+        target = labels
+    logits = model.apply(params, img, deterministic=not train,
+                         rngs={"dropout": rng} if train else None,
+                         method=model.forward_cls)
+    loss = label_smooth_loss(logits, target,
+                             label_smooth_val=cfg.cls_label_smooth)
+    return {"loss_cls": loss}
+
+
+def seg_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
+                train: bool = True):
+    img = batch["img"]
+    gt = batch["gt_semantic_seg"]
+    logits = model.apply(params, img, deterministic=not train,
+                         rngs={"dropout": rng} if train else None,
+                         method=model.forward_seg)
+    # resize logits to label resolution (mmseg BaseDecodeHead.losses)
+    logits = jax.image.resize(
+        logits, (logits.shape[0], gt.shape[1], gt.shape[2],
+                 logits.shape[-1]), method="linear")
+    loss = softmax_cross_entropy(logits, gt,
+                                 ignore_index=cfg.seg_ignore_index)
+    return {"seg.loss_ce": loss * cfg.seg_loss_weight}
+
+
+def det_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
+                train: bool = True):
+    img = batch["img"]
+    img_hw = batch["img_hw"]
+    gt_bboxes = batch["gt_bboxes"]
+    gt_labels = batch["gt_labels"]
+    gt_valid = batch["gt_valid"]
+
+    h = img_hw[:, 0].astype(jnp.float32)
+    w = img_hw[:, 1].astype(jnp.float32)
+    factor = jnp.stack([w, h, w, h], -1)[:, None, :]
+    gt_norm = bbox_xyxy_to_cxcywh(gt_bboxes / factor)
+
+    label_emb = params["params"]["bbox_head"]["label_embedding"]
+    k_cdn, rng = jax.random.split(rng)
+    dn_label_q, dn_bbox_q = generate_cdn_queries(
+        k_cdn, gt_norm, gt_labels, gt_valid, label_emb, cfg.cdn)
+    attn_mask = jnp.asarray(cdn_self_attn_mask(cfg.cdn))
+
+    all_cls, all_coords, topk_score, topk_anchor = model.apply(
+        params, img, img_hw, dn_label_q, dn_bbox_q, attn_mask,
+        deterministic=not train,
+        rngs={"dropout": rng} if train else None,
+        method=model.forward_det)
+    return dino_loss(all_cls, all_coords, topk_score, topk_anchor,
+                     gt_bboxes, gt_labels, gt_valid, img_hw,
+                     cfg.cdn, cfg.det)
+
+
+LOSS_FNS = {"cls": cls_loss_fn, "det": det_loss_fn, "seg": seg_loss_fn}
+
+
+def parse_losses(losses: Dict[str, jnp.ndarray]):
+    """Sum all entries into total loss (reference _parse_losses)."""
+    total = sum(losses.values())
+    log_vars = dict(losses)
+    log_vars["loss"] = total
+    return total, log_vars
+
+
+# ---------------------------------------------------------------------------
+# step factories
+# ---------------------------------------------------------------------------
+
+def make_train_step(model, optimizer, task: str, cfg: TrainStepConfig,
+                    task_mask=None, donate: bool = True):
+    """Returns jitted step(params, opt_state, batch, rng) ->
+    (params, opt_state, log_vars)."""
+    weight = float(cfg.task_weight.get(task, 1.0))
+    loss_fn = LOSS_FNS[task]
+
+    def step(params, opt_state, batch, rng):
+        def lf(p):
+            losses = loss_fn(model, p, batch, rng, cfg, train=True)
+            total, log_vars = parse_losses(losses)
+            return total * weight, log_vars
+
+        (loss, log_vars), grads = jax.value_and_grad(lf, has_aux=True)(
+            params)
+        log_vars = {k: v * weight for k, v in log_vars.items()}
+        new_params, new_opt, gnorm = optimizer.update(
+            grads["params"] if "params" in grads else grads,
+            opt_state,
+            params["params"] if "params" in params else params,
+            task_mask)
+        out_params = dict(params)
+        out_params["params"] = new_params
+        log_vars["grad_norm"] = gnorm
+        return out_params, new_opt, log_vars
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_val_step(model, task: str, cfg: TrainStepConfig):
+    weight = float(cfg.task_weight.get(task, 1.0))
+    loss_fn = LOSS_FNS[task]
+
+    def step(params, batch, rng):
+        losses = loss_fn(model, params, batch, rng, cfg, train=False)
+        total, log_vars = parse_losses(losses)
+        return {k: v * weight for k, v in log_vars.items()}
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# inference steps (reference simple_test_{task})
+# ---------------------------------------------------------------------------
+
+def make_infer_steps(model, max_per_img: int = 300):
+    from rscotr_tpu.models.heads.dino_loss import dino_get_bboxes
+
+    @jax.jit
+    def infer_cls(params, img):
+        logits = model.apply(params, img, deterministic=True,
+                             method=model.forward_cls)
+        return jax.nn.softmax(logits, axis=-1)
+
+    @jax.jit
+    def infer_det(params, img, img_hw, scale_factor):
+        all_cls, all_coords, _, _ = model.apply(
+            params, img, img_hw, None, None, None, deterministic=True,
+            method=model.forward_det)
+        return dino_get_bboxes(all_cls[-1], all_coords[-1], img_hw,
+                               scale_factor, max_per_img=max_per_img,
+                               rescale=True)
+
+    @jax.jit
+    def infer_seg(params, img):
+        logits = model.apply(params, img, deterministic=True,
+                             method=model.forward_seg)
+        logits = jax.image.resize(
+            logits, (img.shape[0], img.shape[1], img.shape[2],
+                     logits.shape[-1]), method="linear")
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.argmax(probs, axis=-1)
+
+    return {"cls": infer_cls, "det": infer_det, "seg": infer_seg}

@@ -1,0 +1,235 @@
+"""DINO detection losses — Hungarian matching + denoising, static shapes.
+
+Behavioral reference: vendored ``DETRHead.loss_single/get_targets``
+(/root/reference/models/multi/bbox_head/mmdet_detr_head/detr_head.py:333-543)
+and ``DINOHead.loss/loss_dn*`` (dino_head.py:152-365).
+
+Static-shape scheme:
+* GTs per image padded to max_gt with ``gt_valid`` mask; invalid cost rows
+  are a large constant so the on-device Hungarian solution for real rows
+  matches scipy on the unpadded problem (see tests/test_ops.py).
+* ``avg_factor``s are computed over the global (sharded) batch — under pjit
+  this subsumes mmdet's cross-rank ``reduce_mean`` (sync_cls_avg_factor).
+
+Loss weights follow the flagship config: focal(2.0 cost / 1.0 loss,
+alpha .25 gamma 2), L1 5.0, GIoU 2.0
+(configs/multi/MTL_slvlcls_...py:105-112,170-174).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rscotr_tpu.models.heads.cdn import CdnConfig, cdn_targets
+from rscotr_tpu.ops.box_ops import bbox_cxcywh_to_xyxy, bbox_xyxy_to_cxcywh
+from rscotr_tpu.ops.losses import giou_loss, l1_loss, sigmoid_focal_loss
+from rscotr_tpu.ops.matcher import (bbox_l1_cost, focal_loss_cost, hungarian,
+                                    iou_cost)
+
+PAD_COST = 1e6
+
+
+@dataclasses.dataclass(frozen=True)
+class DetLossConfig:
+    num_classes: int = 20
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 5.0
+    loss_iou_weight: float = 2.0
+    cost_cls_weight: float = 2.0
+    cost_bbox_weight: float = 5.0
+    cost_iou_weight: float = 2.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    bg_cls_weight: float = 0.0
+
+
+def _match_single(cls_logits, bbox_pred, gt_bboxes_xyxy, gt_labels, gt_valid,
+                  img_hw, cfg: DetLossConfig):
+    """Hungarian assignment for one image.
+
+    cls_logits: (Nq, K); bbox_pred: (Nq, 4) normalized cxcywh;
+    gt_bboxes_xyxy: (G, 4) absolute xyxy; img_hw: (2,) (h, w).
+    Returns col4row: (G,) assigned query per gt row.
+    """
+    h = img_hw[0].astype(jnp.float32)
+    w = img_hw[1].astype(jnp.float32)
+    factor = jnp.stack([w, h, w, h])
+    gt_norm_cxcywh = bbox_xyxy_to_cxcywh(gt_bboxes_xyxy / factor)
+
+    safe_labels = jnp.clip(gt_labels, 0, cfg.num_classes - 1)
+    cost = focal_loss_cost(cls_logits, safe_labels, alpha=cfg.focal_alpha,
+                           gamma=cfg.focal_gamma,
+                           weight=cfg.cost_cls_weight)
+    cost = cost + bbox_l1_cost(bbox_pred, gt_norm_cxcywh,
+                               weight=cfg.cost_bbox_weight)
+    pred_xyxy = bbox_cxcywh_to_xyxy(bbox_pred) * factor
+    cost = cost + iou_cost(pred_xyxy, gt_bboxes_xyxy,
+                           weight=cfg.cost_iou_weight)
+    cost = jnp.where(gt_valid[:, None], cost, PAD_COST)
+    return hungarian(cost)
+
+
+def _targets_single(col4row, gt_bboxes_xyxy, gt_labels, gt_valid, img_hw,
+                    num_query: int, cfg: DetLossConfig):
+    """Scatter matched GTs onto the query axis (one image)."""
+    h = img_hw[0].astype(jnp.float32)
+    w = img_hw[1].astype(jnp.float32)
+    factor = jnp.stack([w, h, w, h])
+    gt_norm = bbox_xyxy_to_cxcywh(gt_bboxes_xyxy / factor)
+
+    labels = jnp.full((num_query,), cfg.num_classes, jnp.int32)
+    bbox_t = jnp.zeros((num_query, 4), jnp.float32)
+    bbox_w = jnp.zeros((num_query, 4), jnp.float32)
+    safe_labels = jnp.clip(gt_labels, 0, cfg.num_classes - 1)
+    # scatter only valid rows: route invalid rows to a dump slot via segment
+    # trick — use where on a scatter with identical index but masked updates.
+    upd_labels = jnp.where(gt_valid, safe_labels, cfg.num_classes)
+    labels = labels.at[col4row].set(upd_labels.astype(jnp.int32),
+                                    mode="drop")
+    bbox_t = bbox_t.at[col4row].set(
+        jnp.where(gt_valid[:, None], gt_norm, 0.0), mode="drop")
+    bbox_w = bbox_w.at[col4row].set(
+        jnp.where(gt_valid[:, None], 1.0, 0.0), mode="drop")
+    return labels, bbox_t, bbox_w
+
+
+def loss_single_layer(cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_valid,
+                      img_hw, cfg: DetLossConfig):
+    """Matching loss for one decoder layer (or the encoder top-k).
+
+    cls_scores: (B, Nq, K); bbox_preds: (B, Nq, 4) normalized cxcywh;
+    gt_bboxes: (B, G, 4) absolute xyxy; img_hw: (B, 2).
+    """
+    B, Nq, K = cls_scores.shape
+    sg = jax.lax.stop_gradient
+    col4row = jax.vmap(_match_single, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        sg(cls_scores), sg(bbox_preds), gt_bboxes, gt_labels, gt_valid,
+        img_hw, cfg)
+    labels, bbox_t, bbox_w = jax.vmap(
+        _targets_single, in_axes=(0, 0, 0, 0, 0, None, None))(
+            col4row, gt_bboxes, gt_labels, gt_valid, img_hw, Nq, cfg)
+
+    num_pos = jnp.sum(gt_valid.astype(jnp.float32))
+    cls_avg = jnp.maximum(num_pos * 1.0, 1.0)
+    loss_cls = sigmoid_focal_loss(
+        cls_scores.reshape(-1, K), labels.reshape(-1),
+        alpha=cfg.focal_alpha, gamma=cfg.focal_gamma,
+        avg_factor=cls_avg) * cfg.loss_cls_weight
+
+    num_pos = jnp.maximum(num_pos, 1.0)
+    factor = jnp.stack([img_hw[:, 1], img_hw[:, 0],
+                        img_hw[:, 1], img_hw[:, 0]],
+                       -1).astype(jnp.float32)[:, None, :]
+    pred_xyxy = bbox_cxcywh_to_xyxy(bbox_preds) * factor
+    tgt_xyxy = bbox_cxcywh_to_xyxy(bbox_t) * factor
+    loss_iou = giou_loss(pred_xyxy.reshape(-1, 4), tgt_xyxy.reshape(-1, 4),
+                         weight=bbox_w.reshape(-1, 4),
+                         avg_factor=num_pos) * cfg.loss_iou_weight
+    loss_bbox = l1_loss(bbox_preds.reshape(-1, 4), bbox_t.reshape(-1, 4),
+                        weight=bbox_w.reshape(-1, 4),
+                        avg_factor=num_pos) * cfg.loss_bbox_weight
+    return loss_cls, loss_bbox, loss_iou
+
+
+def loss_dn_single_layer(dn_cls, dn_bbox, gt_bboxes, gt_labels, gt_valid,
+                         img_hw, cdn_cfg: CdnConfig, cfg: DetLossConfig):
+    """Denoising loss for one decoder layer (fixed positive mapping)."""
+    B, P, K = dn_cls.shape
+    h = img_hw[:, 0].astype(jnp.float32)
+    w = img_hw[:, 1].astype(jnp.float32)
+    factor = jnp.stack([w, h, w, h], -1)[:, None, :]
+    gt_norm = bbox_xyxy_to_cxcywh(gt_bboxes / factor)
+
+    t = cdn_targets(gt_norm, gt_labels, gt_valid, cdn_cfg)
+    cls_avg = t["num_pos"] * 1.0 + \
+        (B * P - t["num_pos"]) * cfg.bg_cls_weight
+    cls_avg = jnp.maximum(cls_avg, 1.0)
+    loss_cls = sigmoid_focal_loss(
+        dn_cls.reshape(-1, K), t["labels"].reshape(-1),
+        weight=t["label_weights"].reshape(-1),
+        alpha=cfg.focal_alpha, gamma=cfg.focal_gamma,
+        avg_factor=cls_avg) * cfg.loss_cls_weight
+
+    num_pos = jnp.maximum(t["num_pos"], 1.0)
+    pred_xyxy = bbox_cxcywh_to_xyxy(dn_bbox) * factor
+    tgt_xyxy = bbox_cxcywh_to_xyxy(t["bbox_targets"]) * factor
+    loss_iou = giou_loss(pred_xyxy.reshape(-1, 4), tgt_xyxy.reshape(-1, 4),
+                         weight=t["bbox_weights"].reshape(-1, 4),
+                         avg_factor=num_pos) * cfg.loss_iou_weight
+    loss_bbox = l1_loss(dn_bbox.reshape(-1, 4),
+                        t["bbox_targets"].reshape(-1, 4),
+                        weight=t["bbox_weights"].reshape(-1, 4),
+                        avg_factor=num_pos) * cfg.loss_bbox_weight
+    return loss_cls, loss_bbox, loss_iou
+
+
+def dino_loss(all_cls, all_coords, topk_score, topk_anchor,
+              gt_bboxes, gt_labels, gt_valid, img_hw,
+              cdn_cfg: CdnConfig, cfg: DetLossConfig) -> Dict[str, jnp.ndarray]:
+    """Full DINO loss dict (reference DINOHead.loss naming)."""
+    P = cdn_cfg.pad_size
+    dn_cls, dn_coords = all_cls[:, :, :P], all_coords[:, :, :P]
+    m_cls, m_coords = all_cls[:, :, P:], all_coords[:, :, P:]
+    L = m_cls.shape[0]
+    out: Dict[str, jnp.ndarray] = {}
+
+    # encoder (interm) loss on top-k proposals
+    e_cls, e_bbox, e_iou = loss_single_layer(
+        topk_score, topk_anchor, gt_bboxes, gt_labels, gt_valid, img_hw, cfg)
+    out["interm_loss_cls"] = e_cls
+    out["interm_loss_bbox"] = e_bbox
+    out["interm_loss_iou"] = e_iou
+
+    for lyr in range(L):
+        c, b, i = loss_single_layer(m_cls[lyr], m_coords[lyr], gt_bboxes,
+                                    gt_labels, gt_valid, img_hw, cfg)
+        dc, db, di = loss_dn_single_layer(dn_cls[lyr], dn_coords[lyr],
+                                          gt_bboxes, gt_labels, gt_valid,
+                                          img_hw, cdn_cfg, cfg)
+        if lyr == L - 1:
+            out["loss_cls"], out["loss_bbox"], out["loss_iou"] = c, b, i
+            out["dn_loss_cls"], out["dn_loss_bbox"], out["dn_loss_iou"] = \
+                dc, db, di
+        else:
+            out[f"d{lyr}.loss_cls"] = c
+            out[f"d{lyr}.loss_bbox"] = b
+            out[f"d{lyr}.loss_iou"] = i
+            out[f"d{lyr}.dn_loss_cls"] = dc
+            out[f"d{lyr}.dn_loss_bbox"] = db
+            out[f"d{lyr}.dn_loss_iou"] = di
+    return out
+
+
+def dino_get_bboxes(cls_scores, bbox_preds, img_hw, scale_factor=None,
+                    max_per_img: int = 300, rescale: bool = False):
+    """Top-k post-processing, no NMS (reference detr_head.py:581-679).
+
+    cls_scores: (B, Nq, K) last-layer logits (matching queries only);
+    bbox_preds: (B, Nq, 4) normalized cxcywh; img_hw: (B, 2).
+    Returns (det_bboxes (B, max_per_img, 5) xyxy+score, det_labels).
+    """
+    B, Nq, K = cls_scores.shape
+    scores = jax.nn.sigmoid(cls_scores).reshape(B, Nq * K)
+    top_scores, top_idx = jax.lax.top_k(scores, max_per_img)
+    q_idx = top_idx // K
+    labels = top_idx % K
+    boxes = jnp.take_along_axis(bbox_preds, q_idx[..., None], axis=1)
+    boxes = bbox_cxcywh_to_xyxy(boxes)
+    h = img_hw[:, 0].astype(jnp.float32)
+    w = img_hw[:, 1].astype(jnp.float32)
+    factor = jnp.stack([w, h, w, h], -1)[:, None, :]
+    boxes = boxes * factor
+    boxes = jnp.stack([
+        jnp.clip(boxes[..., 0], 0, w[:, None]),
+        jnp.clip(boxes[..., 1], 0, h[:, None]),
+        jnp.clip(boxes[..., 2], 0, w[:, None]),
+        jnp.clip(boxes[..., 3], 0, h[:, None]),
+    ], -1)
+    if rescale and scale_factor is not None:
+        boxes = boxes / scale_factor[:, None, :]
+    det = jnp.concatenate([boxes, top_scores[..., None]], -1)
+    return det, labels

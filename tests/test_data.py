@@ -1,0 +1,236 @@
+"""Data layer tests: strategies, loaders, collation, pipelines, metrics."""
+
+import numpy as np
+import pytest
+
+from rscotr_tpu.data import (MultiDataLoader, TaskDataLoader, collate_cls,
+                             collate_det, collate_seg, strategies_map)
+from rscotr_tpu.data.datasets import (SyntheticClsDataset,
+                                      SyntheticDetDataset,
+                                      SyntheticSegDataset)
+
+
+def make_loaders(infinite=False):
+    cls_ds = SyntheticClsDataset(length=8, img_size=32)
+    det_ds = SyntheticDetDataset(length=6, img_size=64)
+    seg_ds = SyntheticSegDataset(length=6, img_size=64)
+    return {
+        "resisc": TaskDataLoader(cls_ds, 2, collate_fn=collate_cls,
+                                 num_threads=1),
+        "dior": TaskDataLoader(
+            det_ds, 2, collate_fn=lambda s: collate_det(s, (64, 64), 12),
+            num_threads=1),
+        "potsdam": TaskDataLoader(
+            seg_ds, 2, collate_fn=lambda s: collate_seg(s, 64),
+            num_threads=1),
+    }
+
+
+class TestStrategies:
+    def test_round_robin(self):
+        loaders = make_loaders()
+        s = strategies_map["round_robin"](loaders)
+        assert [s() for _ in range(7)] == [0, 1, 2, 0, 1, 2, 0]
+
+    def test_repeated_sequence(self):
+        loaders = make_loaders()
+        s = strategies_map["repeated_sequence"](loaders,
+                                                sequence=[1, 2, 2, 0])
+        assert [s() for _ in range(5)] == [1, 2, 2, 0, 1]
+
+    def test_weighted_random_ratios(self):
+        loaders = make_loaders()
+        s = strategies_map["weighted_random"](loaders, p=[0, 1, 0], seed=1)
+        assert all(s() == 1 for _ in range(50))
+
+    def test_size_proportional_exhausts(self):
+        loaders = make_loaders()
+        s = strategies_map["size_proportional"](loaders, seed=0)
+        assert s.should_exhaust_all_iterators
+        draws = [s() for _ in range(600)]
+        counts = np.bincount(draws, minlength=3) / 600
+        # sizes 8/6/6 -> 0.4/0.3/0.3
+        np.testing.assert_allclose(counts, [0.4, 0.3, 0.3], atol=0.08)
+
+    def test_constant(self):
+        loaders = make_loaders()
+        s = strategies_map["constant"](loaders, idx=2)
+        assert [s() for _ in range(3)] == [2, 2, 2]
+
+
+class TestLoaders:
+    def test_cls_batch_shapes(self):
+        dl = make_loaders()["resisc"]
+        b = next(iter(dl))
+        assert b["img"].shape == (2, 32, 32, 3)
+        assert b["gt_label"].shape == (2,)
+
+    def test_det_batch_static(self):
+        dl = make_loaders()["dior"]
+        b = next(iter(dl))
+        assert b["img"].shape == (2, 64, 64, 3)
+        assert b["gt_bboxes"].shape == (2, 12, 4)
+        assert b["gt_valid"].dtype == bool
+        assert b["gt_valid"].any()
+
+    def test_seg_batch(self):
+        dl = make_loaders()["potsdam"]
+        b = next(iter(dl))
+        assert b["img"].shape == (2, 64, 64, 3)
+        assert b["gt_semantic_seg"].shape == (2, 64, 64)
+
+    def test_multi_loader_round_robin(self):
+        loaders = make_loaders()
+        s = strategies_map["round_robin"](loaders)
+        ml = MultiDataLoader(loaders, s)
+        it = iter(ml)
+        tasks = [next(it)["task"] for _ in range(6)]
+        assert tasks == ["cls", "det", "seg", "cls", "det", "seg"]
+        names = [b["dataset_name"] for b in [next(it) for _ in range(3)]]
+        assert names == ["resisc", "dior", "potsdam"]
+
+    def test_multi_loader_reignites(self):
+        """Non-exhaust strategies loop forever over small datasets."""
+        loaders = make_loaders()
+        s = strategies_map["round_robin"](loaders)
+        ml = MultiDataLoader(loaders, s)
+        it = iter(ml)
+        for _ in range(30):   # > one epoch of each child
+            next(it)
+
+    def test_multi_loader_exhaust_all(self):
+        loaders = make_loaders()
+        s = strategies_map["size_proportional"](loaders, seed=0)
+        ml = MultiDataLoader(loaders, s)
+        n = sum(1 for _ in ml)
+        # 4 + 3 + 3 batches total
+        assert n == 10
+
+
+class TestPipelines:
+    def test_resize_keep_ratio(self):
+        from rscotr_tpu.data.pipelines import Resize
+        r = Resize(img_scale=(128, 64), keep_ratio=True)
+        res = r({"img": np.zeros((100, 200, 3), np.float32)},
+                np.random.default_rng(0))
+        h, w = res["img"].shape[:2]
+        assert w <= 128 and h <= 64
+        assert abs(w / h - 2.0) < 0.05
+
+    def test_resize_boxes(self):
+        from rscotr_tpu.data.pipelines import Resize
+        r = Resize(img_scale=(50, 50), keep_ratio=False)
+        res = r({"img": np.zeros((100, 100, 3), np.float32),
+                 "gt_bboxes": np.array([[10, 20, 30, 40]], np.float32)},
+                np.random.default_rng(0))
+        np.testing.assert_allclose(res["gt_bboxes"][0], [5, 10, 15, 20])
+
+    def test_flip_boxes(self):
+        from rscotr_tpu.data.pipelines import RandomFlip
+        f = RandomFlip(prob=1.0)
+        res = f({"img": np.zeros((10, 100, 3), np.float32),
+                 "gt_bboxes": np.array([[10, 0, 30, 5]], np.float32)},
+                np.random.default_rng(0))
+        np.testing.assert_allclose(res["gt_bboxes"][0], [70, 0, 90, 5])
+
+    def test_pad_seg_val(self):
+        from rscotr_tpu.data.pipelines import Pad
+        p = Pad(size=(8, 8), pad_val=0, seg_pad_val=5)
+        res = p({"img": np.ones((5, 5, 3), np.float32),
+                 "gt_semantic_seg": np.zeros((5, 5), np.int32)}, None)
+        assert res["img"].shape == (8, 8, 3)
+        assert (res["gt_semantic_seg"][6:] == 5).all()
+
+    def test_normalize(self):
+        from rscotr_tpu.data.pipelines import Normalize
+        n = Normalize()
+        res = n({"img": np.full((4, 4, 3), 123.675, np.float32)}, None)
+        assert abs(float(res["img"][..., 0].mean())) < 1e-4
+
+    def test_random_resized_crop(self):
+        from rscotr_tpu.data.pipelines import RandomResizedCrop
+        t = RandomResizedCrop(size=32)
+        res = t({"img": np.zeros((64, 64, 3), np.float32)},
+                np.random.default_rng(0))
+        assert res["img"].shape == (32, 32, 3)
+
+    def test_build_pipeline_from_reference_cfg(self):
+        from rscotr_tpu.data.pipelines import build_pipeline
+        cfgs = [
+            dict(type="LoadImageFromFile"),
+            dict(type="Resize", img_scale=(1333, 800), keep_ratio=True),
+            dict(type="RandomFlip", flip_ratio=0.5),
+            dict(type="Normalize"),
+            dict(type="Pad", size_divisor=32),
+            dict(type="DefaultFormatBundle"),
+            dict(type="Collect", keys=["img"]),
+        ]
+        p = build_pipeline(cfgs)
+        assert len(p) == 4  # Load/FormatBundle/Collect skipped
+
+
+class TestMetrics:
+    def test_accuracy(self):
+        from rscotr_tpu.evaluation import top_k_accuracy
+        scores = np.eye(4)
+        labels = np.array([0, 1, 2, 0])
+        m = top_k_accuracy(scores, labels, topk=(1,))
+        assert m["accuracy_top-1"] == 75.0
+
+    def test_seg_metrics_perfect(self):
+        from rscotr_tpu.evaluation import evaluate_seg, intersect_and_union
+        pred = np.array([[0, 1], [2, 5]])
+        label = np.array([[0, 1], [2, 5]])
+        r = intersect_and_union(pred, label, 3, ignore_index=5)
+        m = evaluate_seg([r], metrics=("mIoU", "mFscore"))
+        assert m["mIoU"] == 100.0
+        assert m["mFscore"] == 100.0
+
+    def test_seg_metrics_ignore(self):
+        from rscotr_tpu.evaluation import intersect_and_union
+        pred = np.array([[0, 0]])
+        label = np.array([[5, 0]])   # first pixel ignored
+        inter, union, _, lab = intersect_and_union(pred, label, 3, 5)
+        assert inter.sum() == 1 and lab.sum() == 1
+
+    def test_coco_map_perfect(self):
+        from rscotr_tpu.evaluation import eval_map
+        anns = [{"bboxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40]],
+                                    np.float32),
+                 "labels": np.array([0, 1])}]
+        dets = [[np.array([[0, 0, 10, 10, 0.9]], np.float32),
+                 np.array([[20, 20, 40, 40, 0.8]], np.float32)]]
+        m = eval_map(dets, anns, num_classes=2, iou_thrs=[0.5])
+        assert m["bbox_mAP"] == 1.0
+
+    def test_coco_map_fp(self):
+        from rscotr_tpu.evaluation import eval_map
+        anns = [{"bboxes": np.array([[0, 0, 10, 10]], np.float32),
+                 "labels": np.array([0])}]
+        # one hit + one miss at higher score
+        dets = [[np.array([[50, 50, 60, 60, 0.95], [0, 0, 10, 10, 0.9]],
+                          np.float32)]]
+        m = eval_map(dets, anns, num_classes=1, iou_thrs=[0.5])
+        assert 0.4 < m["bbox_mAP"] <= 0.6  # AP ~ 0.5 with FP ranked first
+
+    def test_coco_map_vs_greedy_property(self):
+        """Random case: AP in [0,1], more noise -> lower AP."""
+        from rscotr_tpu.evaluation import eval_map
+        rng = np.random.default_rng(0)
+        anns, dets_good, dets_bad = [], [], []
+        for _ in range(4):
+            n = 5
+            b = rng.uniform(0, 80, (n, 2))
+            boxes = np.concatenate([b, b + 15], 1).astype(np.float32)
+            anns.append({"bboxes": boxes, "labels": np.zeros(n, int)})
+            good = np.concatenate(
+                [boxes + rng.normal(0, 1, boxes.shape),
+                 rng.uniform(0.5, 1, (n, 1))], 1).astype(np.float32)
+            bad = np.concatenate(
+                [boxes + rng.normal(0, 20, boxes.shape),
+                 rng.uniform(0.5, 1, (n, 1))], 1).astype(np.float32)
+            dets_good.append([good])
+            dets_bad.append([bad])
+        mg = eval_map(dets_good, anns, 1, [0.5])["bbox_mAP"]
+        mb = eval_map(dets_bad, anns, 1, [0.5])["bbox_mAP"]
+        assert 0 <= mb < mg <= 1.0

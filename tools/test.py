@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Public-surface equivalent of /root/reference/tools/test.py:89-226: compose
+config, build test datasets (--tasks subset filter), load checkpoint
+(CLASSES from meta), run inference, per-dataset evaluate() with task-scoped
+eval kwargs, dump metrics JSON; --test_outputs reuses cached raw outputs.
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from rscotr_tpu.config import Config, DictAction
+from rscotr_tpu.data import build_dataloaders, build_datasets, load_data_cfg
+from rscotr_tpu.utils import get_root_logger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate the MTL model")
+    p.add_argument("config")
+    p.add_argument("checkpoint")
+    p.add_argument("--tasks", nargs="+", default=["cls", "det", "seg"],
+                   choices=["cls", "det", "seg"])
+    p.add_argument("--out", help="dump raw outputs pickle")
+    p.add_argument("--test_outputs", help="reuse cached raw outputs pickle")
+    p.add_argument("--eval-out", help="metrics json path")
+    p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--cfg-options", nargs="+", action=DictAction.action())
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(args.cfg_options)
+    cfg = load_data_cfg(cfg, config_root=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    logger = get_root_logger()
+
+    # task subset filter (reference test.py:30-31,153-158)
+    for name in list(cfg.data.keys()):
+        if cfg.data[name]["task"] not in args.tasks:
+            del cfg.data[name]
+
+    datasets = build_datasets(cfg.data, split="test")
+    if not datasets:
+        datasets = build_datasets(cfg.data, split="val")
+    loaders = build_dataloaders(datasets, cfg.data, train=False)
+
+    from rscotr_tpu.apis import make_step_config  # noqa: F401
+    from rscotr_tpu.engine import (evaluate_results, load_checkpoint,
+                                   make_infer_steps, single_device_test)
+    from rscotr_tpu.models import build_model
+
+    model = build_model(cfg.model)
+    ck = load_checkpoint(args.checkpoint)
+    params = ck["params"]
+    if ck["meta"].get("CLASSES"):
+        logger.info("checkpoint CLASSES meta: %s",
+                    {k: len(v) for k, v in ck["meta"]["CLASSES"].items()})
+
+    if args.test_outputs and os.path.isfile(args.test_outputs):
+        with open(args.test_outputs, "rb") as f:
+            results = pickle.load(f)
+        logger.info("loaded cached outputs from %s", args.test_outputs)
+    else:
+        max_per_img = (cfg.model.get("test_cfg", {}) or {}).get(
+            "det", {}).get("max_per_img", 300)
+        infer = make_infer_steps(model, max_per_img=max_per_img)
+        results = single_device_test(infer, params, loaders,
+                                     max_batches=args.max_batches)
+        if args.out:
+            with open(args.out, "wb") as f:
+                pickle.dump(results, f)
+
+    eval_kwargs = {t: dict(cfg.get("evaluation", {}).get(t, {}))
+                   for t in ("cls", "det", "seg")}
+    metrics = evaluate_results(datasets, results, eval_kwargs)
+    logger.info("metrics: %s", json.dumps(metrics, indent=2))
+    out_path = args.eval_out or "eval_metrics.json"
+    with open(out_path, "w") as f:
+        json.dump(metrics, f, indent=2)
+    logger.info("metrics written to %s", out_path)
+
+
+if __name__ == "__main__":
+    main()
