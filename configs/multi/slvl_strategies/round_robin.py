@@ -1,0 +1,4 @@
+# Iteration-strategy ablation: round_robin
+# (capability-equivalent of the reference's configs/multi/slvl_strategies/).
+_base_ = "../MTL_slvlcls_swin-t-p4-w7_1x1_resisc_dior_potsdam.py"
+iteration_strategy = dict(type="round_robin")

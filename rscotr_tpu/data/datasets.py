@@ -94,7 +94,7 @@ class ResiscDataset(BaseDataset):
     def evaluate(self, results, metric="accuracy", topk=(1, 5), **kwargs):
         """results: (N, C) score array or list of per-image vectors."""
         scores = np.asarray(results)
-        labels = np.asarray([s[1] for s in self.samples])
+        labels = np.asarray([s[1] for s in self.samples])[:len(scores)]
         return top_k_accuracy(scores, labels, topk=topk)
 
 
@@ -123,7 +123,7 @@ class SyntheticClsDataset(BaseDataset):
     def evaluate(self, results, **kwargs):
         scores = np.asarray(results)
         labels = np.asarray([i % len(self.CLASSES)
-                             for i in range(len(self))])
+                             for i in range(len(scores))])
         return top_k_accuracy(scores, labels,
                               topk=(1, min(5, len(self.CLASSES))))
 
@@ -186,7 +186,8 @@ class CocoDetDataset(BaseDataset):
     def evaluate(self, results, metric="bbox", iou_thrs=(0.5,),
                  classwise=False, **kwargs):
         """results: per image, per class list of (n, 5) arrays."""
-        return eval_map(results, self.get_annotations(),
+        return eval_map(results,
+                        self.get_annotations()[:len(results)],
                         num_classes=len(self.CLASSES),
                         iou_thrs=list(iou_thrs), max_dets=300,
                         class_names=self.CLASSES if classwise else None)
@@ -232,7 +233,8 @@ class SyntheticDetDataset(BaseDataset):
 
     def evaluate(self, results, metric="bbox", iou_thrs=(0.5,),
                  classwise=False, **kwargs):
-        return eval_map(results, self.get_annotations(),
+        return eval_map(results,
+                        self.get_annotations()[:len(results)],
                         num_classes=len(self.CLASSES),
                         iou_thrs=list(iou_thrs), max_dets=300,
                         class_names=self.CLASSES if classwise else None)

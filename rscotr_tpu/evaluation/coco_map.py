@@ -52,7 +52,8 @@ def eval_map(det_results: List[List[np.ndarray]],
              num_classes: int,
              iou_thrs: Sequence[float] = (0.5,),
              max_dets: int = 100,
-             class_names: Optional[Sequence[str]] = None
+             class_names: Optional[Sequence[str]] = None,
+             use_native: bool = True
              ) -> Dict[str, float]:
     """
     Args:
@@ -87,6 +88,24 @@ def eval_map(det_results: List[List[np.ndarray]],
         all_boxes = np.concatenate(
             [d[:, :4] for d in img_dets]) if img_dets else np.zeros((0, 4))
         order = np.argsort(-all_scores, kind="mergesort")
+
+        if use_native and num_gt > 0:
+            from rscotr_tpu.evaluation.native import class_ap_native
+            gt_start = np.zeros(num_imgs + 1, np.int64)
+            for i, g in enumerate(img_gts):
+                gt_start[i + 1] = gt_start[i] + len(g)
+            gt_flat = np.concatenate(img_gts) if num_gt else \
+                np.zeros((0, 4), np.float32)
+            done = True
+            for ti, thr in enumerate(iou_thrs):
+                ap = class_ap_native(all_boxes, all_scores, all_img,
+                                     gt_flat, gt_start, num_imgs, thr)
+                if ap is None:
+                    done = False
+                    break
+                aps[ti, c] = ap
+            if done:
+                continue
 
         for ti, thr in enumerate(iou_thrs):
             matched = [np.zeros(len(g), bool) for g in img_gts]

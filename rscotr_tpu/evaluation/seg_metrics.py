@@ -21,12 +21,17 @@ def intersect_and_union(pred: np.ndarray, label: np.ndarray,
     pred = pred[mask]
     label = label[mask]
     inter = pred[pred == label]
-    area_inter = np.histogram(inter, bins=num_classes,
-                              range=(0, num_classes))[0]
-    area_pred = np.histogram(pred, bins=num_classes,
-                             range=(0, num_classes))[0]
-    area_label = np.histogram(label, bins=num_classes,
-                              range=(0, num_classes))[0]
+
+    def hist(x):
+        # torch.histc(bins=C, min=0, max=C-1) semantics: values outside
+        # [0, C) are excluded (np.histogram's last bin would wrongly
+        # swallow x == C)
+        x = x[(x >= 0) & (x < num_classes)]
+        return np.bincount(x.astype(np.int64), minlength=num_classes)
+
+    area_inter = hist(inter)
+    area_pred = hist(pred)
+    area_label = hist(label)
     return area_inter, area_pred + area_label - area_inter, area_pred, \
         area_label
 

@@ -145,10 +145,13 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         """x: (B, H, W, C)."""
+        # Window size is FIXED (the rel-pos table is shared across input
+        # resolutions — one backbone serves 224/512/800 inputs); maps
+        # smaller than the window are padded up, and shift is disabled when
+        # a single window covers the map (original-Swin behavior).
         B, H, W, C = x.shape
-        w = self.window_size
-        shift = self.shift if min(H, W) > w else 0
-        win = min(w, H, W) if min(H, W) <= w else w
+        win = self.window_size
+        shift = self.shift if min(H, W) > win else 0
 
         shortcut = x
         x = LayerNorm(name="norm1")(x)

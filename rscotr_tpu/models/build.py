@@ -156,18 +156,39 @@ def build_seg_head(cfg: Optional[dict]):
         pos_temperature=pe.get("temperature", 10000))
 
 
-def build_model(cfg: dict) -> MTL:
-    """Build the MTL model from a reference-shaped model config."""
+def build_model(cfg: dict):
+    """Build a model (MTL / DINO / RSCoTrSeg) from a reference-shaped
+    model config."""
     cfg = copy.deepcopy(dict(cfg))
     t = cfg.get("type", "MTL")
-    assert t == "MTL", f"top-level model type must be MTL, got {t}"
-    neck_cfg = cfg.get("neck")
-    return MTL(
-        backbone=build_backbone(cfg["backbone"]),
-        neck=build_neck(neck_cfg),
-        shared_encoder=build_shared_encoder(cfg["shared_encoder"]),
-        cls_head=build_cls_head(cfg.get("cls_head")),
-        bbox_head=build_bbox_head(cfg.get("bbox_head")),
-        seg_head=build_seg_head(cfg.get("seg_head")),
-        neck_in_levels=len(neck_cfg["in_channels"]) if neck_cfg else 0,
-    )
+    if t == "MTL":
+        neck_cfg = cfg.get("neck")
+        return MTL(
+            backbone=build_backbone(cfg["backbone"]),
+            neck=build_neck(neck_cfg),
+            shared_encoder=build_shared_encoder(cfg["shared_encoder"]),
+            cls_head=build_cls_head(cfg.get("cls_head")),
+            bbox_head=build_bbox_head(cfg.get("bbox_head")),
+            seg_head=build_seg_head(cfg.get("seg_head")),
+            neck_in_levels=len(neck_cfg["in_channels"]) if neck_cfg else 0,
+        )
+    if t == "DINO":
+        from rscotr_tpu.models.dino import DINO
+        neck_cfg = cfg.get("neck")
+        enc_cfg = cfg.get("encoder") or cfg.get("shared_encoder")
+        return DINO(
+            backbone=build_backbone(cfg["backbone"]),
+            neck=build_neck(neck_cfg),
+            bbox_head=build_bbox_head(cfg.get("bbox_head")),
+            encoder=build_shared_encoder(enc_cfg),
+            neck_in_levels=len(neck_cfg["in_channels"]) if neck_cfg else 0)
+    if t == "RSCoTrSeg":
+        from rscotr_tpu.models.rscotr_seg import RSCoTrSeg
+        enc_cfg = cfg.get("encoder") or cfg.get("shared_encoder")
+        seg_cfg = dict(cfg.get("seg_head") or cfg.get("decode_head"))
+        head = build_seg_head(seg_cfg).clone(
+            pixel_decoder_input_convs=True)
+        return RSCoTrSeg(backbone=build_backbone(cfg["backbone"]),
+                         seg_head=head,
+                         encoder=build_shared_encoder(enc_cfg))
+    raise KeyError(f"unknown model type {t}")

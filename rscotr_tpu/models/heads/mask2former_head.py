@@ -44,6 +44,7 @@ class Mask2FormerHead(nn.Module):
     feedforward_channels: int = 2048
     pos_temperature: float = 10000.0
     pixel_decoder_strides: Sequence[int] = (4, 8, 16, 32)
+    pixel_decoder_input_convs: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,6 +61,7 @@ class Mask2FormerHead(nn.Module):
             strides=tuple(self.pixel_decoder_strides),
             feat_channels=C, out_channels=self.out_channels,
             num_outs=L, pos_temperature=self.pos_temperature,
+            use_input_convs=self.pixel_decoder_input_convs,
             dtype=self.dtype, name="pixel_decoder")(
                 encode_fn, neck_feats, backbone_feats,
                 deterministic=deterministic)

@@ -110,6 +110,10 @@ class MlvlSegPixelDecoder(nn.Module):
     out_channels: int = 256
     num_outs: int = 4
     pos_temperature: float = 10000.0
+    use_input_convs: bool = False   # standalone variant: project raw
+    # backbone levels to feat_channels before the encoder (the MTL variant
+    # drops input convs because the neck already projects — reference
+    # models/seg/rscotr_seg_pixel_decoder.py vs models/multi/seg_head/)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -119,6 +123,20 @@ class MlvlSegPixelDecoder(nn.Module):
         levels (strides 4..32); the levels below num_encoder_levels are
         FPN-fused. Returns (mask_feature, multi_scale_features low->high)."""
         num_input_levels = len(backbone_feats)
+        if self.use_input_convs:
+            projected = []
+            n = len(neck_feats)
+            for i in range(self.num_encoder_levels):
+                level_idx = n - i - 1
+                x = nn.Conv(self.feat_channels, (1, 1), use_bias=True,
+                            dtype=self.dtype,
+                            name=f"input_conv_{i}")(neck_feats[level_idx])
+                x = GroupNorm2d(name=f"input_gn_{i}")(x)
+                projected.append(x)
+            # rebuild high->low order expected by the flatten helper
+            neck_feats = tuple(
+                list(neck_feats[:n - self.num_encoder_levels]) +
+                list(reversed(projected)))
         level_embed = self.param("level_encoding",
                                  nn.initializers.normal(1.0),
                                  (self.num_encoder_levels,

@@ -67,59 +67,66 @@ def _pallas_supported(value: jnp.ndarray) -> bool:
 @functools.partial(jax.jit, static_argnums=(1,))
 def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                         attention_weights):
+    """Fused-gather formulation: level offsets are static, so the four
+    bilinear corners become four gathers into the FULL flattened value
+    (one per corner across all levels), with per-corner weights folding
+    bilinear fraction x validity x attention weight. HBM-bandwidth-bound;
+    XLA:TPU lowers take_along_axis to its native vectorized gather."""
     B, num_value, num_heads, head_dim = value.shape
     _, num_query, _, num_levels, num_points, _ = sampling_locations.shape
     assert num_levels == len(spatial_shapes)
     assert num_value == sum(h * w for h, w in spatial_shapes)
 
     compute_dtype = value.dtype
-    out = jnp.zeros((B, num_heads, num_query, head_dim), dtype=jnp.float32)
-    start = 0
-    for lvl, (H, W) in enumerate(spatial_shapes):
-        # (B, H*W, heads, dim) -> (B, heads, H*W, dim)
-        v = jax.lax.dynamic_slice_in_dim(value, start, H * W, axis=1)
-        v = jnp.transpose(v, (0, 2, 1, 3))
-        start += H * W
+    Hs = jnp.asarray([h for h, w in spatial_shapes], jnp.float32)
+    Ws = jnp.asarray([w for h, w in spatial_shapes], jnp.float32)
+    starts = []
+    s = 0
+    for (h, w) in spatial_shapes:
+        starts.append(s)
+        s += h * w
+    starts = jnp.asarray(starts, jnp.int32)
 
-        loc = sampling_locations[:, :, :, lvl]        # (B, Q, h, P, 2)
-        w_att = attention_weights[:, :, :, lvl]       # (B, Q, h, P)
-        # grid_sample(align_corners=False): pixel coords
-        x = loc[..., 0] * W - 0.5
-        y = loc[..., 1] * H - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
+    # pixel coords per grid_sample(align_corners=False)
+    x = sampling_locations[..., 0] * Ws[None, None, None, :, None] - 0.5
+    y = sampling_locations[..., 1] * Hs[None, None, None, :, None] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
 
-        acc = jnp.zeros((B, num_query, num_heads, num_points, head_dim),
-                        dtype=jnp.float32)
-        for dy in (0, 1):
-            for dx in (0, 1):
-                xi = x0i + dx
-                yi = y0i + dy
-                wcorner = (fx if dx else (1.0 - fx)) * \
-                          (fy if dy else (1.0 - fy))
-                valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-                idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-                # (B, Q, h, P) -> (B, h, Q*P)
-                idx_t = jnp.transpose(idx, (0, 2, 1, 3)).reshape(
-                    B, num_heads, num_query * num_points)
-                g = jnp.take_along_axis(
-                    v, idx_t[..., None], axis=2)      # (B, h, Q*P, dim)
-                g = g.reshape(B, num_heads, num_query, num_points, head_dim)
-                g = jnp.transpose(g, (0, 2, 1, 3, 4))  # (B, Q, h, P, dim)
-                wc = (wcorner * valid.astype(jnp.float32))[..., None]
-                acc = acc + g.astype(jnp.float32) * wc
-        # weighted sum over points
-        contrib = jnp.einsum("bqhpd,bqhp->bhqd", acc,
-                             w_att.astype(jnp.float32))
-        out = out + contrib
+    v = jnp.transpose(value, (0, 2, 1, 3))      # (B, h, Nv, D)
+    Wi = Ws.astype(jnp.int32)[None, None, None, :, None]
+    Hi = Hs.astype(jnp.int32)[None, None, None, :, None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
 
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
-        B, num_query, num_heads * head_dim)
-    return out.astype(compute_dtype)
+    out = jnp.zeros((B, num_query, num_heads, head_dim), jnp.float32)
+    aw = attention_weights.astype(jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0i + dx
+            yi = y0i + dy
+            wc = (fx if dx else (1.0 - fx)) * (fy if dy else (1.0 - fy))
+            valid = (xi >= 0) & (xi < Wi) & (yi >= 0) & (yi < Hi)
+            idx = jnp.clip(yi, 0, Hi - 1) * Wi + jnp.clip(xi, 0, Wi - 1)
+            idx = idx + starts[None, None, None, :, None]
+            # fold bilinear fraction, validity and attention weight into a
+            # single per-sample weight -> one weighted gather per corner
+            wfull = wc * valid.astype(jnp.float32) * aw   # (B,Q,h,L,P)
+            idx_t = jnp.transpose(idx, (0, 2, 1, 3, 4)).reshape(
+                B, num_heads, num_query * num_levels * num_points)
+            g = jnp.take_along_axis(v, idx_t[..., None], axis=2)
+            g = g.reshape(B, num_heads, num_query,
+                          num_levels * num_points, head_dim)
+            w_t = jnp.transpose(wfull, (0, 2, 1, 3, 4)).reshape(
+                B, num_heads, num_query, num_levels * num_points)
+            out = out + jnp.transpose(
+                jnp.einsum("bhqk,bhqkd->bhqd", w_t, g.astype(jnp.float32)),
+                (0, 2, 1, 3))
+
+    return out.reshape(B, num_query, num_heads * head_dim).astype(
+        compute_dtype)
 
 
 def ms_deform_attn_reference_numpy(value, spatial_shapes, sampling_locations,
