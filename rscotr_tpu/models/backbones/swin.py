@@ -89,6 +89,7 @@ class WindowAttention(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    fused: bool = False   # Pallas fused QK^T+bias+mask+softmax+PV kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -104,25 +105,39 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(B_, n, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]          # (B_, H, n, hd)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
-
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window_size - 1) ** 2, H))
         idx = jnp.asarray(_rel_pos_index(self.window_size))
         rel_bias = bias_table[idx.reshape(-1)].reshape(n, n, H)
-        attn = attn + rel_bias.transpose(2, 0, 1)[None]
+        rel_bias = rel_bias.transpose(2, 0, 1)    # (H, n, n)
 
-        if attn_mask is not None:
-            nW = attn_mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, H, n, n) + \
-                attn_mask[None, :, None]
-            attn = attn.reshape(B_, H, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        use_fused = (self.fused and self.attn_drop == 0.0
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            from rscotr_tpu.ops.pallas.window_attention import \
+                window_attention_fused
+            nW = attn_mask.shape[0] if attn_mask is not None else 1
+            Bimg = B_ // nW
+            def split(t):
+                return t.reshape(Bimg, nW, H, n, hd)
+            o = window_attention_fused(
+                split(q), split(k), split(v), rel_bias,
+                shift_mask=attn_mask, scale=scale)
+            out = o.reshape(B_, H, n, hd)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+            attn = attn + rel_bias[None]
+            if attn_mask is not None:
+                nW = attn_mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, H, n, n) + \
+                    attn_mask[None, :, None]
+                attn = attn.reshape(B_, H, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(attn,
+                                              deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, n, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -140,6 +155,7 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    fused_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -172,7 +188,7 @@ class SwinBlock(nn.Module):
             dim=C, num_heads=self.num_heads, window_size=win,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
-            dtype=self.dtype, name="attn")(
+            fused=self.fused_attn, dtype=self.dtype, name="attn")(
                 xw, mask, deterministic=deterministic)
         x = window_unpartition(xw, win, Hp, Wp, B)
 
@@ -232,6 +248,7 @@ class SwinTransformer(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     with_cp: bool = False          # accepted for config parity; remat knob
     convert_weights: bool = True   # config parity (handled by converter)
+    fused_window_attn: bool = False  # Pallas fused attention (TPU)
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
@@ -262,7 +279,8 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     qk_scale=self.qk_scale, drop=self.drop_rate,
                     attn_drop=self.attn_drop_rate,
-                    drop_path=dprs[si][bi], dtype=self.dtype,
+                    drop_path=dprs[si][bi],
+                    fused_attn=self.fused_window_attn, dtype=self.dtype,
                     name=f"stage{si}_block{bi}")
                 # with_cp (activation rematerialization) is applied at the
                 # train-step level via jax.checkpoint policies; the flag is

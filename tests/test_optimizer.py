@@ -44,8 +44,8 @@ class TestSchedule:
     def test_step_policy(self):
         s = make_lr_schedule(dict(policy="step", step=[100, 200]), 1e-3)
         np.testing.assert_allclose(float(s(0)), 1e-3)
-        np.testing.assert_allclose(float(s(150)), 1e-4, rtol=1e-6)
-        np.testing.assert_allclose(float(s(250)), 1e-5, rtol=1e-6)
+        np.testing.assert_allclose(float(s(150)), 1e-4, rtol=1e-5)
+        np.testing.assert_allclose(float(s(250)), 1e-5, rtol=1e-5)
 
     def test_linear_warmup(self):
         s = make_lr_schedule(dict(policy="step", step=[1000],
