@@ -32,11 +32,12 @@ class TestWindowAttentionFused:
         mask = (rng.integers(0, 2, (nW, n, n)) * -100.0).astype(np.float32) \
             if with_mask else None
         scale = hd ** -0.5
-        got = window_attention_fused(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-            jnp.asarray(bias),
-            shift_mask=jnp.asarray(mask) if mask is not None else None,
-            scale=scale, interpret=True)
+        with jax.default_matmul_precision("highest"):
+            got = window_attention_fused(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(bias),
+                shift_mask=jnp.asarray(mask) if mask is not None else None,
+                scale=scale, interpret=True)
         want = self._ref(q, k, v, bias, mask, scale)
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
@@ -50,8 +51,9 @@ class TestWindowAttentionFused:
         k = rng.normal(size=(B, nW, H, n, hd)).astype(np.float32)
         v = rng.normal(size=(B, nW, H, n, hd)).astype(np.float32)
         bias = np.zeros((H, n, n), np.float32)
-        got = np.asarray(window_attention_fused(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-            jnp.asarray(bias), scale=hd ** -0.5, interpret=True))
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(window_attention_fused(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(bias), scale=hd ** -0.5, interpret=True))
         want = self._ref(q, k, v, bias, None, hd ** -0.5)
         np.testing.assert_allclose(got, want, atol=2e-5)
