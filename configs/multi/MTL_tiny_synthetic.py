@@ -80,7 +80,7 @@ data = dict(
                              img_size=128, num_classes=5),
                   val=dict(type="SyntheticSegDataset", length=8,
                            img_size=128, num_classes=5, seed=1)),
-        loader=dict(seg_size=128)),
+        loader=dict(seg_size=128, seg_pad_val=5)),
 )
 
 optimizer = dict(

@@ -155,7 +155,8 @@ def load_task_pretrain(params, pretrain_path: str, rule: str = "dino_mmdet"):
 
 
 def make_eval_fn(cfg, model, max_per_img: int = 300,
-                 skip_det: bool = False, max_batches: int = 0):
+                 skip_det: bool = False, max_batches: int = 0,
+                 mesh=None):
     val_datasets = build_datasets(cfg.data, split="val")
     if not val_datasets:
         val_datasets = build_datasets(cfg.data, split="test")
@@ -169,7 +170,7 @@ def make_eval_fn(cfg, model, max_per_img: int = 300,
 
     def eval_fn(runner):
         results = single_device_test(infer, runner.params, loaders,
-                                     max_batches=max_batches)
+                                     max_batches=max_batches, mesh=mesh)
         return evaluate_results(val_datasets, results, eval_kwargs)
 
     return eval_fn
@@ -178,8 +179,22 @@ def make_eval_fn(cfg, model, max_per_img: int = 300,
 def train_model(cfg, work_dir: str, seed: int = 0,
                 validate: bool = True, resume_from: Optional[str] = None,
                 auto_resume: bool = False, load_task_pretrain_path=None,
-                skip_det_eval: bool = False, max_iters_override=None):
+                skip_det_eval: bool = False, max_iters_override=None,
+                num_devices: Optional[int] = None):
+    """``num_devices=None`` uses every local device: with >1 device a 1-D
+    ``data`` mesh is built, params/opt-state are replicated, each global
+    batch (``samples_per_gpu`` × world size, DDP semantics) is sharded on
+    its leading axis, and XLA inserts the gradient psums (this subsumes
+    the reference's MMDistributedDataParallel — mtl/apis/train.py:37-48)."""
     logger = get_root_logger(os.path.join(work_dir, "train.log"))
+    if num_devices is None:
+        num_devices = len(jax.devices())
+    mesh = None
+    if num_devices > 1:
+        from rscotr_tpu.parallel import make_mesh, replicated
+        mesh = make_mesh(num_devices)
+        logger.info("data parallel over %d devices (%s)", num_devices,
+                    jax.devices()[0].platform)
     model = build_model(cfg.model)
     params = init_model_params(model, cfg, seed)
     n_params = sum(int(np.prod(p.shape))
@@ -208,7 +223,8 @@ def train_model(cfg, work_dir: str, seed: int = 0,
              for t in tasks_present}
 
     datasets = build_datasets(cfg.data, split="train")
-    multi_loader = build_multidataloader(cfg, datasets, seed=seed)
+    multi_loader = build_multidataloader(cfg, datasets, seed=seed,
+                                         world_size=num_devices)
 
     start_step = 0
     if auto_resume and resume_from is None:
@@ -221,8 +237,15 @@ def train_model(cfg, work_dir: str, seed: int = 0,
         start_step = int(ck["meta"].get("iter", 0))
         logger.info("resumed from %s @ iter %d", resume_from, start_step)
 
+    if mesh is not None:
+        repl = replicated(mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
     runner = IterBasedRunner(steps, params, opt_state, max_iters,
-                             rng_seed=seed, start_step=start_step)
+                             rng_seed=seed, start_step=start_step,
+                             mesh=mesh,
+                             profile_cfg=cfg.get("profile_cfg"))
     log_cfg = cfg.get("log_config", {}) or {}
     runner.register_hook(LogHook(interval=log_cfg.get("interval", 300),
                                  work_dir=work_dir))
@@ -237,7 +260,7 @@ def train_model(cfg, work_dir: str, seed: int = 0,
             cfg, model,
             max_per_img=(cfg.model.get("test_cfg", {}) or {}).get(
                 "det", {}).get("max_per_img", 300),
-            skip_det=skip_det_eval)
+            skip_det=skip_det_eval, mesh=mesh)
         runner.register_hook(MultiDatasetsEvalHook(
             eval_fn, interval=ev.get("interval", 15000),
             save_best=ev.get("save_best"), work_dir=work_dir))

@@ -83,19 +83,26 @@ _COLLATES = {
         samples, bucket_hw=opts.get("det_bucket_hw", (800, 800)),
         max_gt=opts.get("max_gt", 100))),
     "seg": lambda opts: (lambda samples: collate_seg(
-        samples, size=opts.get("seg_size", 512))),
+        samples, size=opts.get("seg_size", 512),
+        seg_pad_val=opts.get("seg_pad_val", 255))),
 }
 
 
 def build_dataloaders(datasets: Dict[str, object], data_cfg,
                       train: bool = True, seed: int = 0,
-                      num_threads: int = 4) -> Dict[str, TaskDataLoader]:
+                      num_threads: int = 4,
+                      world_size: int = 1) -> Dict[str, TaskDataLoader]:
+    """``world_size > 1`` multiplies the per-device batch into a global
+    batch (DDP semantics: reference ``samples_per_gpu`` is per device;
+    the jitted step shards the global batch over the data mesh)."""
     loaders = {}
     for name, ds in datasets.items():
         entry = data_cfg[name]
         opts = dict(entry.get("loader", {}))
         bs = entry["data"].get("samples_per_gpu", 1) if train else \
             entry["data"].get("test_samples_per_gpu", 1)
+        if train:
+            bs = bs * max(1, world_size)
         pipeline = build_pipeline(ds.pipeline_cfg or [])
         loaders[name] = TaskDataLoader(
             ds, batch_size=bs, pipeline=pipeline,
@@ -122,7 +129,9 @@ def build_iteration_strategy(cfg, loaders, seed: int = 0):
 
 
 def build_multidataloader(cfg, datasets: Dict[str, object],
-                          seed: int = 0) -> MultiDataLoader:
-    loaders = build_dataloaders(datasets, cfg.data, train=True, seed=seed)
+                          seed: int = 0,
+                          world_size: int = 1) -> MultiDataLoader:
+    loaders = build_dataloaders(datasets, cfg.data, train=True, seed=seed,
+                                world_size=world_size)
     strategy = build_iteration_strategy(cfg, loaders, seed=seed)
     return MultiDataLoader(loaders, strategy)

@@ -61,22 +61,30 @@ def collate_det(samples: List[dict], bucket_hw, max_gt: int
             "gt_valid": gt_valid}
 
 
-def collate_seg(samples: List[dict], size: int = 512
-                ) -> Dict[str, np.ndarray]:
+def collate_seg(samples: List[dict], size: int = 512,
+                seg_pad_val: int = 255) -> Dict[str, np.ndarray]:
+    """``seg_pad_val`` follows the reference's Pad(seg_pad_val=...) —
+    Potsdam uses 5 (= clutter = eval ignore_index, a *trained* class in
+    the scheme-2 quirk; /root/reference/configs/_base_/seg/
+    potsdam_IRRG_all.py:16,56)."""
     B = len(samples)
     img = np.zeros((B, size, size, 3), np.float32)
-    seg = np.full((B, size, size), 255, np.int32)
+    seg = np.full((B, size, size), seg_pad_val, np.int32)
     img_hw = np.zeros((B, 2), np.int32)
+    ori_hw = np.zeros((B, 2), np.int32)
     for i, s in enumerate(samples):
         im = s["img"]
         h, w = im.shape[:2]
         img[i, :h, :w] = im[:size, :size]
         img_hw[i] = (min(h, size), min(w, size))
+        osh = s.get("ori_shape", im.shape)
+        ori_hw[i] = (osh[0], osh[1])
         if "gt_semantic_seg" in s:
             sg = s["gt_semantic_seg"]
             seg[i, :min(h, size), :min(w, size)] = \
                 sg[:size, :size]
-    return {"img": img, "gt_semantic_seg": seg, "img_hw": img_hw}
+    return {"img": img, "gt_semantic_seg": seg, "img_hw": img_hw,
+            "ori_hw": ori_hw}
 
 
 class TaskDataLoader:
@@ -96,6 +104,13 @@ class TaskDataLoader:
         self.num_threads = max(1, num_threads)
         self.infinite = infinite
         self._epoch = 0
+        self._pool = None
+
+    def _executor(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(self.num_threads)
+        return self._pool
 
     def __len__(self):
         n = len(self.dataset)
@@ -133,9 +148,8 @@ class TaskDataLoader:
                 seeds = [self.seed * 7 + epoch * 1000003 + int(i)
                          for i in chunk]
                 if self.num_threads > 1 and len(chunk) > 1:
-                    from concurrent.futures import ThreadPoolExecutor
-                    with ThreadPoolExecutor(self.num_threads) as ex:
-                        samples = list(ex.map(self._prepare, chunk, seeds))
+                    samples = list(self._executor().map(
+                        self._prepare, chunk, seeds))
                 else:
                     samples = [self._prepare(int(i), s)
                                for i, s in zip(chunk, seeds)]
@@ -219,7 +233,14 @@ class MultiDataLoader:
                     if all(self._finished.values()):
                         raise StopIteration
                     continue
-                self._iters[name] = iter(self.loaders[name])
+                # Re-ignite with a BUMPED epoch so the child reshuffles and
+                # re-seeds its per-sample augmentations (the reference
+                # reseeds via DistSamplerSeedHook / sampler epochs; without
+                # this a 300k-iter run re-sees identical data order every
+                # pseudo-epoch).
+                dl = self.loaders[name]
+                dl.set_epoch(dl._epoch + 1)
+                self._iters[name] = iter(dl)
                 batch = next(self._iters[name])
             batch = dict(batch)
             batch["dataset_name"] = name

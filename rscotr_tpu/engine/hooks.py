@@ -50,7 +50,8 @@ class LogHook(Hook):
         self._iter0 = runner.step
         self.sink.log_scalars(runner.step, logs)
         main = {k: round(v, 4) for k, v in logs.items()
-                if k.endswith(".loss") or k in ("loss", "time", "grad_norm")}
+                if k.endswith(".loss")
+                or k in ("loss", "time", "data_time", "grad_norm")}
         self.logger.info("iter %d/%d %s", runner.step, runner.max_iters,
                          main)
 

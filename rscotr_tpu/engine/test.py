@@ -7,14 +7,19 @@ arrays; seg: HxW label maps / pre_eval tuples).
 
 TPU notes: inference steps are jitted with static batch shapes; eval batches
 are padded up to the batch size and the padding results dropped host-side.
-Multi-host evaluation shards the dataset by host id and all-gathers result
-counts (the reference's multi-host eval raises NotImplementedError —
-mtl/apis/train.py:100-101; here it is supported).
+Passing a ``mesh`` shards each eval batch over the mesh's data axis
+(data-parallel inference; the reference's multi-GPU eval exists in
+mtl/engine/test.py:41-53 but its training-time variant raises
+NotImplementedError — mtl/apis/train.py:100-101). Seg predictions are
+cropped to the un-padded shape and resized to ``ori_shape``
+(multitask_learner.py:217-227; host-side nearest on label maps — the
+reference resizes logits bilinearly before argmax, identical away from
+class boundaries).
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List
+from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
@@ -34,11 +39,25 @@ def _pad_batch(batch: Dict[str, np.ndarray], bs: int):
     return out, n
 
 
+def _resize_labels_nearest(p: np.ndarray, hw) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W) integer label map."""
+    H, W = p.shape
+    h, w = int(hw[0]), int(hw[1])
+    if (h, w) == (H, W):
+        return p
+    ys = np.clip((np.arange(h) + 0.5) * H / h - 0.5, 0, H - 1)
+    xs = np.clip((np.arange(w) + 0.5) * W / w - 0.5, 0, W - 1)
+    return p[np.round(ys).astype(int)[:, None],
+             np.round(xs).astype(int)[None, :]]
+
+
 def single_device_test(infer_steps: Dict[str, Callable], params,
                        loaders: Dict[str, Any],
-                       max_batches: int = 0) -> Dict[str, List]:
+                       max_batches: int = 0,
+                       mesh=None) -> Dict[str, List]:
     """Returns dict dataset_name -> list of per-image results."""
     logger = get_root_logger()
+    place = _batch_placer(mesh)
     results: Dict[str, List] = {}
     for name, loader in loaders.items():
         task = loader.dataset.task
@@ -49,6 +68,7 @@ def single_device_test(infer_steps: Dict[str, Callable], params,
             if max_batches and bi >= max_batches:
                 break
             batch, valid = _pad_batch(batch, bs)
+            batch = place(batch)
             if task == "cls":
                 probs = np.asarray(step(params, batch["img"]))
                 out.extend(list(probs[:valid]))
@@ -65,14 +85,34 @@ def single_device_test(infer_steps: Dict[str, Callable], params,
             elif task == "seg":
                 preds = np.asarray(step(params, batch["img"]))
                 hw = batch.get("img_hw")
+                ori = batch.get("ori_hw")
                 for i in range(valid):
                     p = preds[i]
                     if hw is not None:
                         p = p[:hw[i, 0], :hw[i, 1]]
+                    if ori is not None:
+                        p = _resize_labels_nearest(p, np.asarray(ori[i]))
                     out.append(p.astype(np.int32))
         results[name] = out
         logger.info("evaluated %s: %d samples", name, len(out))
     return results
+
+
+def _batch_placer(mesh):
+    """Shard eval batches over the mesh's data axis when the batch size
+    divides the device count; otherwise leave placement to jit."""
+    if mesh is None:
+        return lambda batch: batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n = mesh.devices.size
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    def place(batch):
+        if len(next(iter(batch.values()))) % n != 0:
+            return batch
+        return {k: jax.device_put(v, shard) for k, v in batch.items()}
+
+    return place
 
 
 def evaluate_results(datasets: Dict[str, Any], results: Dict[str, List],

@@ -65,11 +65,34 @@ def pad_batch_to_devices(batch: Dict[str, np.ndarray],
     return out, n
 
 
-def initialize_distributed(coordinator: Optional[str] = None,
+def initialize_distributed(launcher: str = "none",
+                           coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
-    """Multi-host init (replaces init_dist/tools/train.py:174-182)."""
-    if num_processes is not None and num_processes > 1:
+    """Multi-host init (replaces init_dist, tools/train.py:174-182).
+
+    ``launcher='none'`` is a no-op. Otherwise resolve process topology from
+    args or the environment (JAX/TPU pod env vars are auto-detected by
+    ``jax.distributed.initialize()``; torchrun-style WORLD_SIZE/RANK/
+    MASTER_ADDR are mapped for the 'pytorch' launcher).
+    """
+    import os
+
+    if launcher == "none":
+        return
+    env = os.environ
+    if num_processes is None:
+        num_processes = int(env.get("WORLD_SIZE",
+                                    env.get("JAX_NUM_PROCESSES", "0")) or 0)
+    if process_id is None and "RANK" in env:
+        process_id = int(env["RANK"])
+    if coordinator is None and "MASTER_ADDR" in env:
+        coordinator = (f"{env['MASTER_ADDR']}:"
+                       f"{env.get('MASTER_PORT', '8476')}")
+    if num_processes and num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
+    elif launcher == "jax":
+        # TPU pod slice: topology comes from the runtime environment.
+        jax.distributed.initialize()

@@ -57,3 +57,79 @@ class TestWindowAttentionFused:
                 jnp.asarray(bias), scale=hd ** -0.5, interpret=True))
         want = self._ref(q, k, v, bias, None, hd ** -0.5)
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestMsDeformAttnPallas:
+    """Pallas MSDA kernel vs the numpy oracle and the XLA path."""
+
+    def _inputs(self, seed=0, B=2, H=4, D=16, P=4,
+                shapes=((12, 16), (6, 8), (3, 4))):
+        rng = np.random.default_rng(seed)
+        L = len(shapes)
+        Nv = sum(h * w for h, w in shapes)
+        Q = 37
+        value = rng.normal(size=(B, Nv, H, D)).astype(np.float32)
+        # locations straddle the border to exercise validity masking
+        loc = rng.uniform(-0.2, 1.2, size=(B, Q, H, L, P, 2)
+                          ).astype(np.float32)
+        aw = rng.uniform(size=(B, Q, H, L, P)).astype(np.float32)
+        aw = aw / aw.sum(axis=(-2, -1), keepdims=True)
+        return value, shapes, loc, aw
+
+    def test_matches_numpy_oracle(self):
+        from rscotr_tpu.ops.ms_deform_attn import \
+            ms_deform_attn_reference_numpy
+        from rscotr_tpu.ops.pallas import ms_deform_attn_kernel as mk
+
+        value, shapes, loc, aw = self._inputs()
+        mk._INTERPRET[0] = True
+        try:
+            got = np.asarray(mk.ms_deform_attn_pallas(
+                jnp.asarray(value), shapes, jnp.asarray(loc),
+                jnp.asarray(aw)))
+        finally:
+            mk._INTERPRET[0] = False
+        want = ms_deform_attn_reference_numpy(value, shapes, loc, aw)
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_matches_xla_path(self):
+        from rscotr_tpu.ops.ms_deform_attn import _ms_deform_attn_xla
+        from rscotr_tpu.ops.pallas import ms_deform_attn_kernel as mk
+
+        value, shapes, loc, aw = self._inputs(seed=3)
+        mk._INTERPRET[0] = True
+        try:
+            got = np.asarray(mk.ms_deform_attn_pallas(
+                jnp.asarray(value), shapes, jnp.asarray(loc),
+                jnp.asarray(aw)))
+        finally:
+            mk._INTERPRET[0] = False
+        want = np.asarray(_ms_deform_attn_xla(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_xla(self):
+        """custom_vjp backward == autodiff of the XLA formulation."""
+        from rscotr_tpu.ops.ms_deform_attn import _ms_deform_attn_xla
+        from rscotr_tpu.ops.pallas import ms_deform_attn_kernel as mk
+
+        value, shapes, loc, aw = self._inputs(seed=7, B=1, H=2, D=8,
+                                              shapes=((6, 8), (3, 4)))
+        v, l, a = jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw)
+
+        def f_pallas(v, l, a):
+            return jnp.sum(mk.ms_deform_attn_pallas(v, shapes, l, a) ** 2)
+
+        def f_xla(v, l, a):
+            return jnp.sum(_ms_deform_attn_xla(v, shapes, l, a) ** 2)
+
+        mk._INTERPRET[0] = True
+        try:
+            g1 = jax.grad(f_pallas, argnums=(0, 1, 2))(v, l, a)
+        finally:
+            mk._INTERPRET[0] = False
+        g2 = jax.grad(f_xla, argnums=(0, 1, 2))(v, l, a)
+        for a_, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)

@@ -1,0 +1,138 @@
+"""Multi-device data-parallel correctness on the virtual 8-device CPU mesh.
+
+Verifies the TPU-native replacement for the reference's DDP layer
+(/root/reference/mtl/apis/train.py:37-48): with params replicated and the
+global batch sharded over a 1-D ``data`` mesh, one jitted train step must
+produce the SAME updated params / loss as the unsharded single-device step
+on the same global batch (the gradient psum XLA inserts subsumes DDP's
+all-reduce, multitask_learner.py:289-304).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rscotr_tpu.apis import init_model_params, make_step_config
+from rscotr_tpu.config import Config
+from rscotr_tpu.data import load_data_cfg
+from rscotr_tpu.engine import (build_optimizer, make_train_step,
+                               task_param_masks)
+from rscotr_tpu.models import build_model
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def cls_setup():
+    cfg = Config.fromfile(
+        os.path.join(ROOT, "configs/multi/MTL_tiny_synthetic.py"))
+    cfg = load_data_cfg(cfg, config_root=ROOT)
+    # cls-only model keeps the compiled graph small; the full 3-task
+    # sharded compile+run is covered by __graft_entry__.dryrun_multichip
+    cfg.model["bbox_head"] = None
+    cfg.model["seg_head"] = None
+    cfg.data = {"resisc": cfg.data["resisc"]}
+    model = build_model(cfg.model)
+    params = init_model_params(model, cfg, seed=0)
+    optimizer = build_optimizer(
+        cfg.optimizer, params["params"], lr_config=dict(cfg.lr_config),
+        grad_clip=(cfg.get("optimizer_config", {}) or {}).get("grad_clip"))
+    opt_state = optimizer.init(params["params"])
+    masks = task_param_masks(params["params"], cls_uses_encoder=False)
+    step_cfg = make_step_config(cfg)
+    step = make_train_step(model, optimizer, "cls", step_cfg, masks["cls"],
+                           donate=False)
+    return params, opt_state, step
+
+
+def _batch(n=8):
+    rng = np.random.default_rng(0)
+    return {
+        "img": rng.normal(size=(n, 128, 128, 3)).astype(np.float32),
+        "gt_label": rng.integers(0, 45, n).astype(np.int32),
+    }
+
+
+def test_sharded_step_matches_single_device(cls_setup, cpu_mesh):
+    params, opt_state, step = cls_setup
+    batch = _batch(8)
+    rng = jax.random.key(42)
+    with jax.default_matmul_precision("highest"):
+        p1, o1, l1 = step(params, opt_state, batch, rng)
+        jax.block_until_ready(l1["loss"])
+
+        repl = NamedSharding(cpu_mesh, P())
+        shard = NamedSharding(cpu_mesh, P("data"))
+        params_r = jax.device_put(params, repl)
+        opt_r = jax.device_put(opt_state, repl)
+        batch_s = {k: jax.device_put(v, shard) for k, v in batch.items()}
+        p2, o2, l2 = step(params_r, opt_r, batch_s, rng)
+        jax.block_until_ready(l2["loss"])
+
+    np.testing.assert_allclose(float(l1["loss"]), float(l2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_step_updated_params_stay_replicated(cls_setup, cpu_mesh):
+    params, opt_state, step = cls_setup
+    repl = NamedSharding(cpu_mesh, P())
+    shard = NamedSharding(cpu_mesh, P("data"))
+    batch_s = {k: jax.device_put(v, shard) for k, v in _batch(8).items()}
+    p2, o2, l2 = step(jax.device_put(params, repl),
+                      jax.device_put(opt_state, repl),
+                      batch_s, jax.random.key(0))
+    leaf = jax.tree.leaves(p2)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_runner_places_batch_on_mesh(cls_setup, cpu_mesh):
+    from rscotr_tpu.engine.runner import IterBasedRunner
+
+    params, opt_state, step = cls_setup
+    runner = IterBasedRunner({"cls": step}, params, opt_state, max_iters=1,
+                             mesh=cpu_mesh)
+    placed = runner._place_batch(_batch(8))
+    for v in placed.values():
+        assert not v.sharding.is_fully_replicated
+        assert v.sharding.spec == P("data")
+
+
+def test_pad_batch_to_devices():
+    from rscotr_tpu.parallel import pad_batch_to_devices
+
+    batch = {"img": np.ones((5, 4, 4, 3), np.float32),
+             "gt_label": np.arange(5, dtype=np.int32)}
+    padded, n = pad_batch_to_devices(batch, 8)
+    assert n == 5
+    assert padded["img"].shape[0] == 8
+    assert padded["gt_label"].shape[0] == 8
+    np.testing.assert_array_equal(padded["gt_label"][:5], np.arange(5))
+
+
+def test_multidataloader_reignite_reshuffles():
+    """Regression for the round-1 epoch-repeat bug: a re-ignited child
+    loader must yield a DIFFERENT shuffle order (reference reseeds via
+    DistSamplerSeedHook / sampler epochs)."""
+    from rscotr_tpu.data.datasets import SyntheticClsDataset
+    from rscotr_tpu.data.iteration_strategies import strategies_map
+    from rscotr_tpu.data.loader import (MultiDataLoader, TaskDataLoader,
+                                        collate_cls)
+
+    ds = SyntheticClsDataset(length=16, img_size=8, num_classes=45)
+    ds.dataset_name = "a"
+    dl = TaskDataLoader(ds, batch_size=4, collate_fn=collate_cls,
+                        shuffle=True, seed=0, num_threads=1)
+    strategy = strategies_map["round_robin"]({"a": dl})
+    ml = MultiDataLoader({"a": dl}, strategy)
+    it = iter(ml)
+    first = [int(x) for _ in range(4) for x in next(it)["gt_label"]]
+    second = [int(x) for _ in range(4) for x in next(it)["gt_label"]]
+    assert sorted(first) == sorted(second)  # same data ...
+    assert first != second                  # ... different order

@@ -16,6 +16,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
+from rscotr_tpu.utils import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 from rscotr_tpu.config import Config, DictAction
 from rscotr_tpu.data import collate_cls, collate_det, collate_seg, \
     load_data_cfg

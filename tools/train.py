@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 from rscotr_tpu.config import Config, DictAction, replace_cfg_vals
 from rscotr_tpu.data import load_data_cfg
-from rscotr_tpu.utils import collect_env, get_root_logger, set_random_seed
+from rscotr_tpu.utils import (collect_env, get_root_logger,
+                              honor_jax_platforms_env, set_random_seed)
+
+honor_jax_platforms_env()
 
 
 def parse_args(argv=None):
@@ -67,6 +70,10 @@ def main(argv=None):
     for k, v in collect_env().items():
         logger.info("env: %s = %s", k, v)
 
+    if args.launcher != "none":
+        from rscotr_tpu.parallel import initialize_distributed
+        initialize_distributed(launcher=args.launcher)
+
     seed = args.seed if args.seed is not None else 0
     if args.diff_seed:
         import jax
@@ -78,7 +85,7 @@ def main(argv=None):
         import jax
         base_bs = cfg.get("auto_scale_lr", {}).get("base_batch_size", 16)
         world_bs = sum(e["data"].get("samples_per_gpu", 1)
-                       for e in cfg.data.values()) * jax.process_count()
+                       for e in cfg.data.values()) * len(jax.devices())
         cfg.optimizer["lr"] = cfg.optimizer["lr"] * world_bs / base_bs
         logger.info("auto-scaled lr to %g", cfg.optimizer["lr"])
 
