@@ -9,11 +9,18 @@ encoder + 3 heads) on one chip: a mix unit = 16 cls images (224^2) + 1 det
 image (800^2) + 2 seg images (512^2), mirroring the co-training per-step
 batch mix.
 
-Honesty instrumentation (VERDICT r1 #4):
-* per-task wall time with an explicit ``block_until_ready`` on every call;
-* analytic FLOPs from ``jitted.lower(...).compile().cost_analysis()`` and
-  the resulting MFU against the chip's peak (v5e bf16 ~197 TFLOP/s) — if
-  MFU looks impossible the throughput number is wrong, not fast.
+Honesty instrumentation (VERDICT r1 #4). Measured facts about this host's
+'axon' TPU tunnel (2026-08): ``jax.block_until_ready`` does NOT actually
+synchronize (returns in ~0.2 ms for a 7 ms forward) and repeated
+identical dispatches can be served from a cache — the round-1 bench
+measured async dispatch, not compute. This harness therefore:
+* feeds a DIFFERENT input batch to every iteration;
+* synchronizes by a device->host VALUE READ of the last output, which
+  orders behind every queued launch (in-order stream execution);
+* reports analytic FLOPs from ``jitted.lower(...).compile()
+  .cost_analysis()`` and the resulting MFU against the chip's peak
+  (v5e bf16 ~197 TFLOP/s) — if MFU looks impossible, the throughput
+  number is wrong, not fast.
 
 ``vs_baseline`` divides by an *estimated* A100 PyTorch reference for the
 same mix (the reference repo publishes no throughput anywhere — BASELINE.md;
@@ -103,22 +110,42 @@ def main():
         compiled[t] = infer[t].lower(*args).compile()
         flops[t] = _flops_of(compiled[t])
 
-    def run(t):
-        out = compiled[t](*task_args[t])
-        jax.block_until_ready(out)
-        return out
+    import numpy as np
+
+    def _sync(out):
+        """Force real completion: device->host read of one element."""
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf.ravel()[0])
+
+    # pre-materialize ITERS distinct input batches per task so no
+    # dispatch can be served from an identical-call cache
+    variants = {}
+    for t, args in task_args.items():
+        vs = []
+        for i in range(ITERS):
+            vs.append(tuple(
+                a + np.float32(i) * 1e-3
+                if (a.dtype == jnp.float32 and a.ndim > 2) else a
+                for a in args[1:]))
+        variants[t] = vs
+        for v in vs:
+            for a in v:
+                _sync(a)
 
     # warmup every task
     for _ in range(WARMUP):
         for t in ("cls", "det", "seg"):
-            run(t)
+            _sync(compiled[t](params, *variants[t][0]))
 
-    # per-task timing, each call individually blocked
+    # per-task timing: queue ITERS distinct-input calls, value-read the
+    # last output (in-order stream => syncs the whole queue)
     task_ms = {}
     for t in ("cls", "det", "seg"):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            run(t)
+        out = None
+        for i in range(ITERS):
+            out = compiled[t](params, *variants[t][i])
+        _sync(out)
         task_ms[t] = (time.perf_counter() - t0) / ITERS * 1e3
 
     unit_s = sum(task_ms.values()) / 1e3

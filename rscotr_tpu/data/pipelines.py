@@ -75,16 +75,27 @@ class Resize:
     """
 
     def __init__(self, img_scale=None, size=None, keep_ratio=True,
-                 ratio_range=None, interpolation="bilinear", backend=None):
+                 ratio_range=None, multiscale_mode="range",
+                 override=False, interpolation="bilinear", backend=None):
         self.img_scale = img_scale or size
         self.keep_ratio = keep_ratio
         self.ratio_range = ratio_range
+        self.multiscale_mode = multiscale_mode
+        # `override` is mmdet bookkeeping for re-resizing inside AutoAugment
+        # branches; our scale_factor accumulates multiplicatively, so the
+        # flag is accepted for config parity and needs no behavior.
         self.interpolation = interpolation
 
     def __call__(self, results, rng=None):
         img = results["img"]
         h, w = img.shape[:2]
         scale = self.img_scale
+        if (isinstance(scale, (list, tuple)) and len(scale) and
+                isinstance(scale[0], (list, tuple))):
+            # multi-scale: 'value' picks one of the listed scales
+            # (reference det AutoAugment, dino_4scale_r50...py:116-124)
+            i = int(rng.integers(0, len(scale))) if rng is not None else 0
+            scale = tuple(scale[i])
         if self.ratio_range is not None:
             lo, hi = self.ratio_range
             r = rng.uniform(lo, hi) if rng is not None else 1.0
@@ -100,10 +111,13 @@ class Resize:
         hf = new_hw[0] / h
         results["img"] = _resize_img(img, new_hw, self.interpolation)
         results["img_shape"] = results["img"].shape
-        results["scale_factor"] = np.array([wf, hf, wf, hf], np.float32)
+        sf = np.array([wf, hf, wf, hf], np.float32)
+        # cumulative across repeated resizes (AutoAugment branches)
+        results["scale_factor"] = sf * results.get("scale_factor", 1.0)
+        results["scale_factor"] = np.asarray(results["scale_factor"],
+                                             np.float32)
         if "gt_bboxes" in results and len(results["gt_bboxes"]):
-            results["gt_bboxes"] = results["gt_bboxes"] * \
-                results["scale_factor"]
+            results["gt_bboxes"] = results["gt_bboxes"] * sf
         if "gt_semantic_seg" in results:
             results["gt_semantic_seg"] = _resize_seg(
                 results["gt_semantic_seg"], new_hw)
@@ -210,25 +224,61 @@ class RandomResizedCrop:
 
 @PIPELINES.register_module(name="RandomCrop")
 class RandomCrop:
-    """Seg random crop with cat_max_ratio re-draws (mmseg semantics)."""
+    """Random crop; mmseg semantics (fixed crop_size + cat_max_ratio
+    re-draws) and mmdet semantics (crop_type='absolute_range' samples the
+    crop size, boxes are shifted/clipped and empty ones dropped —
+    reference det AutoAugment branch, dino_4scale_r50...py:127-133)."""
 
     def __init__(self, crop_size=(512, 512), cat_max_ratio=1.0,
-                 ignore_index=255):
+                 ignore_index=255, crop_type="absolute",
+                 allow_negative_crop=False):
         self.crop_size = crop_size
         self.cat_max_ratio = cat_max_ratio
         self.ignore_index = ignore_index
+        self.crop_type = crop_type
+        self.allow_negative_crop = allow_negative_crop
 
     def _crop_box(self, shape, rng):
         h, w = shape[:2]
-        ch = min(self.crop_size[0], h)
-        cw = min(self.crop_size[1], w)
+        if self.crop_type == "absolute_range":
+            lo, hi = self.crop_size
+            ch = min(int(rng.integers(lo, hi + 1)), h)
+            cw = min(int(rng.integers(lo, hi + 1)), w)
+        else:
+            ch = min(self.crop_size[0], h)
+            cw = min(self.crop_size[1], w)
         y = int(rng.integers(0, h - ch + 1))
         x = int(rng.integers(0, w - cw + 1))
         return y, x, ch, cw
 
+    def _crop_bboxes(self, results, box):
+        y, x, ch, cw = box
+        bboxes = results.get("gt_bboxes")
+        if bboxes is None or not len(bboxes):
+            return True
+        b = bboxes - np.array([x, y, x, y], np.float32)
+        b[:, 0::2] = np.clip(b[:, 0::2], 0, cw)
+        b[:, 1::2] = np.clip(b[:, 1::2], 0, ch)
+        keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+        if not keep.any() and not self.allow_negative_crop:
+            return False
+        results["gt_bboxes"] = b[keep]
+        if "gt_labels" in results:
+            results["gt_labels"] = np.asarray(results["gt_labels"])[keep]
+        return True
+
     def __call__(self, results, rng):
         img = results["img"]
         box = self._crop_box(img.shape, rng)
+        if "gt_bboxes" in results:
+            ok = False
+            for _ in range(10):
+                if self._crop_bboxes(results, box):
+                    ok = True
+                    break
+                box = self._crop_box(img.shape, rng)
+            if not ok:
+                return results  # mmdet: invalid crop -> skip (uncropped)
         if self.cat_max_ratio < 1.0 and "gt_semantic_seg" in results:
             for _ in range(10):
                 y, x, ch, cw = box
@@ -461,6 +511,21 @@ class LoadImageFromFile:
         results["ori_shape"] = results["img"].shape
         results["img_shape"] = results["img"].shape
         return results
+
+
+@PIPELINES.register_module(name="AutoAugment")
+class AutoAugment:
+    """mmdet AutoAugment: pick ONE policy branch uniformly and run its
+    transforms (reference det train pipeline,
+    dino_4scale_r50_1x1_50e_dior.py:113-150)."""
+
+    def __init__(self, policies):
+        self.policies = [build_pipeline(p) for p in policies]
+
+    def __call__(self, results, rng):
+        i = int(rng.integers(0, len(self.policies))) if rng is not None \
+            else 0
+        return run_pipeline(self.policies[i], results, rng)
 
 
 def build_pipeline(cfgs: Sequence[dict]) -> List:

@@ -73,7 +73,15 @@ class ResNet(nn.Module):
     ARCH = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, deterministic: Optional[bool] = None,
+                 train: Optional[bool] = None):
+        """``train`` only matters with norm_eval=False (running BN stats);
+        every reference config freezes BN (norm_eval=True / requires_grad
+        False), so the default path uses running averages — exact parity
+        with mmdet's train-time BN eval mode."""
+        if train is None:
+            train = (not deterministic) if deterministic is not None \
+                else False
         blocks = self.ARCH[self.depth][:self.num_stages]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)

@@ -15,8 +15,22 @@ Design notes (TPU-first):
   static, shapes fixed, XLA-friendly.
 * The XLA path is pure gathers + elementwise math; autodiff gives the
   backward scatter-add for free.
-* A fused Pallas kernel lives in rscotr_tpu/ops/pallas/ and is dispatched via
-  ``impl='pallas'`` (default 'auto' picks pallas on TPU for supported shapes).
+* A fused Pallas kernel lives in rscotr_tpu/ops/pallas/ but ``impl='auto'``
+  deliberately picks the XLA path on TPU. Measured evidence (v5e, jax 0.9,
+  2026-08): (a) Mosaic's ``tpu.dynamic_gather`` is TILE-LOCAL — sublane
+  gathers only work within one 8-row tile and lane gathers within one
+  128-lane tile (probed: (8,128) axis-0 OK, (512,128) axis-0 compiler
+  crash, (512,128) axis-1 OK, (256,256) axis-1 crash) — so an arbitrary
+  13k-row value-table gather cannot be expressed in a Pallas kernel on
+  this toolchain; (b) the XLA gather path runs the flagship det-encoder
+  layer (Nv=Q=13.3k, 8 heads, 4 levels, 4 points) in 0.157 ms — an
+  effective 5.5 TB/s of corner traffic, i.e. XLA's native gather engine
+  already exploits value-table locality far beyond HBM streaming. Unlike
+  GPUs (mmcv's CUDA ``ms_deform_attn`` exists because scattered loads are
+  native there), the TPU's scattered-load path IS the XLA gather op.
+  The Pallas kernel stays as the drop-in for future toolchains that grow
+  a real gather primitive (use ``impl='pallas'`` to opt in), and is kept
+  parity-tested in interpret mode.
 """
 
 from __future__ import annotations
@@ -58,10 +72,11 @@ def ms_deform_attn(value: jnp.ndarray,
 
 
 def _pallas_supported(value: jnp.ndarray) -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    # 'auto' never picks pallas today: Mosaic's dynamic_gather is
+    # tile-local (see module docstring) and the XLA gather path is faster
+    # than HBM streaming at flagship shapes. Flip when the toolchain
+    # grows an arbitrary-table gather.
+    return False
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

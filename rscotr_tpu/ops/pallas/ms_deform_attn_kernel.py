@@ -20,8 +20,16 @@ forward kernel and the XLA path are numerically interchangeable, so
 mixing them across fwd/bwd is exact up to float reassociation.
 
 VMEM budget per program (flagship det encoder: Nv~13.3k, D=32, K=64,
-TQ=128): value 13.3k*32*4B = 1.7 MB + gathered block 128*64*32*4B = 1 MB
-+ idx/w blocks 64 KB — comfortably under the ~16 MB VMEM limit.
+TQ=Nvp/K=208): value 13.3k*32*4B = 1.7 MB + gathered block of the same
+size + idx/w blocks — comfortably under the ~16 MB VMEM limit.
+
+STATUS (v5e, jax 0.9, 2026-08): interpret-mode parity + grad tests pass
+(tests/test_pallas.py), but the kernel does NOT compile on the current
+TPU toolchain — Mosaic's ``tpu.dynamic_gather`` is tile-local (8 sublanes
+/ 128 lanes) and the AOT compiler crashes on table-sized gathers. The
+dispatcher (ops/ms_deform_attn.py) therefore routes 'auto' to the XLA
+gather path, which measures 0.157 ms for the full flagship encoder-layer
+MSDA — see the probe data in that module's docstring.
 """
 
 from __future__ import annotations
@@ -87,52 +95,63 @@ def _corner_indices_weights(spatial_shapes, sampling_locations,
 
 
 def _kernel(v_ref, idx_ref, w_ref, o_ref):
-    v = v_ref[0, :, 0, :]                       # (Nv, D)
-    idx = idx_ref[0, :, 0, :]                   # (TQ, K)
-    wts = w_ref[0, :, 0, :]                     # (TQ, K)
+    v = v_ref[0, 0]                             # (Nv, D)
+    idx = idx_ref[0, 0]                         # (TQ, K)
+    wts = w_ref[0, 0]                           # (TQ, K)
     TQ, K = idx.shape
-    g = jnp.take(v, idx.reshape(-1), axis=0,
-                 unique_indices=False, indices_are_sorted=False)
-    g = g.reshape(TQ, K, v.shape[-1]).astype(jnp.float32)
-    o_ref[0, :, 0, :] = jnp.sum(g * wts[..., None], axis=1
-                                ).astype(o_ref.dtype)
+    D = v.shape[-1]
+    # Mosaic lowers take_along_axis to the hardware dynamic-gather along
+    # sublanes (tpu.dynamic_gather), which requires input, indices and
+    # output to share one 2D shape — the caller sizes TQ so TQ*K == Nvp.
+    idx2 = jnp.broadcast_to(idx.reshape(TQ * K, 1), (TQ * K, D))
+    g = jnp.take_along_axis(v, idx2, axis=0)
+    g = g.reshape(TQ, K, D).astype(jnp.float32)
+    o_ref[0, 0] = jnp.sum(g * wts[..., None], axis=1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4))
+@functools.partial(jax.jit, static_argnums=(1,))
 def _pallas_forward(value, spatial_shapes, sampling_locations,
-                    attention_weights, block_q: int = 128):
+                    attention_weights):
     B, Nv, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     K = L * P * 4
     idx, wts = _corner_indices_weights(spatial_shapes, sampling_locations,
                                        attention_weights)
 
-    TQ = min(block_q, _round_up(Q, 8))
+    # tpu.dynamic_gather needs gather-output shape == value-table shape,
+    # so pick the query block TQ with TQ*K == Nvp (and TQ a sublane
+    # multiple): pad the value table up to a multiple of 8*K rows.
+    Nvp = _round_up(Nv, 8 * K)
+    TQ = Nvp // K
     Qp = _round_up(Q, TQ)
-    Nvp = _round_up(Nv, 8)
+    # head-major layout so block tails are (Nv, D) / (TQ, K) — TPU tiling
+    # wants the last two block dims to be (8k, 128k) or whole-array.
+    vh = jnp.transpose(value, (0, 2, 1, 3))        # (B, H, Nv, D)
+    idx = jnp.transpose(idx, (0, 2, 1, 3))         # (B, H, Q, K)
+    wts = jnp.transpose(wts, (0, 2, 1, 3))
     if Qp != Q:
-        idx = jnp.pad(idx, ((0, 0), (0, Qp - Q), (0, 0), (0, 0)))
-        wts = jnp.pad(wts, ((0, 0), (0, Qp - Q), (0, 0), (0, 0)))
-    vpad = jnp.pad(value, ((0, 0), (0, Nvp - Nv), (0, 0), (0, 0))) \
-        if Nvp != Nv else value
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+    if Nvp != Nv:
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Nvp - Nv), (0, 0)))
 
     out = pl.pallas_call(
         _kernel,
         grid=(B, H, Qp // TQ),
         in_specs=[
-            pl.BlockSpec((1, Nvp, 1, D), lambda b, h, q: (b, 0, h, 0),
+            pl.BlockSpec((1, 1, Nvp, D), lambda b, h, q: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, 1, K), lambda b, h, q: (b, q, h, 0),
+            pl.BlockSpec((1, 1, TQ, K), lambda b, h, q: (b, h, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, 1, K), lambda b, h, q: (b, q, h, 0),
+            pl.BlockSpec((1, 1, TQ, K), lambda b, h, q: (b, h, q, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TQ, 1, D), lambda b, h, q: (b, q, h, 0),
+        out_specs=pl.BlockSpec((1, 1, TQ, D), lambda b, h, q: (b, h, q, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Qp, H, D), value.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
         interpret=_INTERPRET[0],
-    )(vpad, idx, wts)
-    return out[:, :Q].reshape(B, Q, H * D)
+    )(vh, idx, wts)
+    return jnp.transpose(out[:, :, :Q], (0, 2, 1, 3)).reshape(B, Q, H * D)
 
 
 # toggled by tests to run the kernel in interpreter mode on CPU

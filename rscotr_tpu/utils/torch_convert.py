@@ -138,6 +138,252 @@ def convert_swin_mm(state: Dict[str, np.ndarray],
     return convert_swin_original(remapped, depths)
 
 
+# ---------------------------------------------------------------------------
+# Full mm-format MTL checkpoint (backbone + neck + shared encoder + heads)
+# ---------------------------------------------------------------------------
+
+def _put(tree: dict, path, val):
+    d = tree
+    for k in path[:-1]:
+        d = d.setdefault(k, {})
+    d[path[-1]] = np.asarray(val)
+
+
+def _ln(tree, path, state, key):
+    """torch LayerNorm/GroupNorm {key}.weight/bias -> {path}.scale/bias."""
+    _put(tree, path + ("scale",), state[f"{key}.weight"])
+    _put(tree, path + ("bias",), state[f"{key}.bias"])
+
+
+def _dense(tree, path, state, key):
+    _put(tree, path + ("kernel",), t_lin(state[f"{key}.weight"]))
+    if f"{key}.bias" in state:
+        _put(tree, path + ("bias",), state[f"{key}.bias"])
+
+
+def _conv(tree, path, state, key):
+    _put(tree, path + ("kernel",), t_conv(state[f"{key}.weight"]))
+    if f"{key}.bias" in state:
+        _put(tree, path + ("bias",), state[f"{key}.bias"])
+
+
+def _mha(tree, path, state, key):
+    """torch nn.MultiheadAttention -> our q/k/v/out_proj Dense quads.
+
+    in_proj_weight rows are [q; k; v] each (C, C)."""
+    w = state[f"{key}.in_proj_weight"]
+    C = w.shape[1]
+    names = ("q_proj", "k_proj", "v_proj")
+    for i, nm in enumerate(names):
+        _put(tree, path + (nm, "kernel"), t_lin(w[i * C:(i + 1) * C]))
+    if f"{key}.in_proj_bias" in state:
+        b = state[f"{key}.in_proj_bias"]
+        for i, nm in enumerate(names):
+            _put(tree, path + (nm, "bias"), b[i * C:(i + 1) * C])
+    _dense(tree, path + ("out_proj",), state, f"{key}.out_proj")
+
+
+def _msda(tree, path, state, key):
+    """mmcv MultiScaleDeformableAttention projections."""
+    for nm in ("sampling_offsets", "attention_weights", "value_proj",
+               "output_proj"):
+        _dense(tree, path + (nm,), state, f"{key}.{nm}")
+
+
+def _ffn(tree, path, state, key):
+    """mmcv FFN: layers.0.0 = fc0 (Linear inside Sequential(act)),
+    layers.1 = fc1."""
+    _dense(tree, path + ("fc0",), state, f"{key}.layers.0.0")
+    _dense(tree, path + ("fc1",), state, f"{key}.layers.1")
+
+
+def convert_channel_mapper(state: Dict[str, np.ndarray],
+                           prefix: str = "neck.") -> dict:
+    """mmdet ChannelMapper ('convs.{i}.conv/gn', 'extra_convs.{j}') ->
+    our ChannelMapper tree (convs_{i}/gn_{i}/extra_convs_{j}/extra_gn_{j})."""
+    state = {k.removeprefix(prefix): v for k, v in state.items()
+             if k.startswith(prefix)}
+    p: dict = {}
+    i = 0
+    while f"convs.{i}.conv.weight" in state:
+        _conv(p, (f"convs_{i}",), state, f"convs.{i}.conv")
+        if f"convs.{i}.gn.weight" in state:
+            _ln(p, (f"gn_{i}",), state, f"convs.{i}.gn")
+        i += 1
+    j = 0
+    while f"extra_convs.{j}.conv.weight" in state:
+        _conv(p, (f"extra_convs_{j}",), state, f"extra_convs.{j}.conv")
+        if f"extra_convs.{j}.gn.weight" in state:
+            _ln(p, (f"extra_gn_{j}",), state, f"extra_convs.{j}.gn")
+        j += 1
+    return p
+
+
+def convert_deformable_encoder(state: Dict[str, np.ndarray],
+                               prefix: str = "shared_encoder.") -> dict:
+    """mmcv DetrTransformerEncoder ('layers.{i}.attentions.0...', ffns,
+    norms) -> our DeformableEncoder tree (layers_{i}.self_attn/ffn/norm*).
+
+    Reference layer order: MSDeformAttn -> norms.0 -> FFN -> norms.1
+    (configs/multi/MTL_slvlcls_...py:44-49)."""
+    state = {k.removeprefix(prefix): v for k, v in state.items()
+             if k.startswith(prefix)}
+    p: dict = {}
+    i = 0
+    while f"layers.{i}.norms.0.weight" in state:
+        lp = (f"layers_{i}",)
+        _msda(p, lp + ("self_attn",), state, f"layers.{i}.attentions.0")
+        _ffn(p, lp + ("ffn",), state, f"layers.{i}.ffns.0")
+        _ln(p, lp + ("norm1",), state, f"layers.{i}.norms.0")
+        _ln(p, lp + ("norm2",), state, f"layers.{i}.norms.1")
+        i += 1
+    return p
+
+
+def convert_cls_head(state: Dict[str, np.ndarray],
+                     prefix: str = "cls_head.") -> dict:
+    """SlvlClsHead / MlvlClsHead ('fc', optional 'pixel_decoder' +
+    'out_proj')."""
+    state = {k.removeprefix(prefix): v for k, v in state.items()
+             if k.startswith(prefix)}
+    p: dict = {}
+    if "fc.weight" in state:
+        _dense(p, ("fc",), state, "fc")
+    if "pixel_decoder.level_encoding.weight" in state:
+        _put(p, ("pixel_decoder", "level_encoding"),
+             state["pixel_decoder.level_encoding.weight"])
+    if "out_proj.weight" in state:
+        # torch Linear(n, 1) weight (1, n) -> our (n, 1) param
+        _put(p, ("out_proj_w",), t_lin(state["out_proj.weight"]))
+        _put(p, ("out_proj_b",), state["out_proj.bias"])
+    return p
+
+
+def convert_dino_head(state: Dict[str, np.ndarray],
+                      prefix: str = "bbox_head.") -> dict:
+    """Reference DINOHead + DinoTransformer(+Decoder)
+    (models/multi/bbox_head/dino_head.py:40-55, transformer.py:135-273)
+    -> our DINOHead tree."""
+    state = {k.removeprefix(prefix): v for k, v in state.items()
+             if k.startswith(prefix)}
+    p: dict = {}
+    _put(p, ("label_embedding",), state["label_embedding.weight"])
+    _put(p, ("level_embeds",), state["transformer.level_embeds"])
+    _put(p, ("query_embed",), state["transformer.query_embed.weight"])
+    _dense(p, ("enc_output",), state, "transformer.enc_output")
+    _ln(p, ("enc_output_norm",), state, "transformer.enc_output_norm")
+    i = 0
+    while f"cls_branches.{i}.weight" in state:
+        _dense(p, (f"cls_branches_{i}",), state, f"cls_branches.{i}")
+        for j, fc in enumerate((0, 2, 4)):
+            _dense(p, (f"reg_branches_{i}", f"fc{j}"), state,
+                   f"reg_branches.{i}.{fc}")
+        i += 1
+    # ref_point_head: build_MLP ModuleList of Linear (transformer.py:17-28)
+    j = 0
+    while f"transformer.decoder.ref_point_head.layers.{j}.weight" in state:
+        _dense(p, ("ref_point_head", f"layers_{j}"), state,
+               f"transformer.decoder.ref_point_head.layers.{j}")
+        j += 1
+    _ln(p, ("decoder_norm",), state, "transformer.decoder.norm")
+    i = 0
+    while f"transformer.decoder.layers.{i}.norms.0.weight" in state:
+        src = f"transformer.decoder.layers.{i}"
+        lp = (f"decoder_layers_{i}",)
+        # order: self_attn(MHA) -> norms.0 -> cross_attn(MSDA) -> norms.1
+        # -> ffn -> norms.2 (configs/multi/MTL_slvlcls_...py:82-97)
+        _mha(p, lp + ("self_attn",), state, f"{src}.attentions.0.attn")
+        _msda(p, lp + ("cross_attn",), state, f"{src}.attentions.1")
+        _ffn(p, lp + ("ffn",), state, f"{src}.ffns.0")
+        for n in range(3):
+            _ln(p, lp + (f"norm{n + 1}",), state, f"{src}.norms.{n}")
+        i += 1
+    return p
+
+
+def convert_mask2former_head(state: Dict[str, np.ndarray],
+                             prefix: str = "seg_head.") -> dict:
+    """Reference Mask2FormerHead (models/multi/seg_head/
+    mask2former_head.py:40-88) + MlvlSegPixelDecoder (pixel_decoder.py:30-70)
+    -> our Mask2FormerHead tree."""
+    state = {k.removeprefix(prefix): v for k, v in state.items()
+             if k.startswith(prefix)}
+    p: dict = {}
+    _put(p, ("query_embed",), state["query_embed.weight"])
+    _put(p, ("query_feat",), state["query_feat.weight"])
+    _put(p, ("level_embed",), state["level_embed.weight"])
+    for j, seq in enumerate((0, 2, 4)):
+        _dense(p, ("mask_embed", f"layers_{j}"), state, f"mask_embed.{seq}")
+    if "cls_embed.weight" in state:
+        _dense(p, ("cls_embed",), state, "cls_embed")
+    _ln(p, ("post_norm",), state, "transformer_decoder.post_norm")
+    i = 0
+    while f"transformer_decoder.layers.{i}.norms.0.weight" in state:
+        src = f"transformer_decoder.layers.{i}"
+        lp = (f"decoder_layers_{i}",)
+        # order: cross_attn -> norms.0 -> self_attn -> norms.1 -> ffn ->
+        # norms.2 (configs/multi/MTL_slvlcls_...py:138-152)
+        _mha(p, lp + ("cross_attn",), state, f"{src}.attentions.0.attn")
+        _mha(p, lp + ("self_attn",), state, f"{src}.attentions.1.attn")
+        _ffn(p, lp + ("ffn",), state, f"{src}.ffns.0")
+        for n in range(3):
+            _ln(p, lp + (f"norm{n + 1}",), state, f"{src}.norms.{n}")
+        i += 1
+    # pixel decoder
+    pd = "pixel_decoder."
+    _put(p, ("pixel_decoder", "level_encoding"),
+         state[f"{pd}level_encoding.weight"])
+    _conv(p, ("pixel_decoder", "mask_feature"), state, f"{pd}mask_feature")
+    # lateral/output convs: reference appends them in DESCENDING input-level
+    # order; our names carry the input-level index directly.
+    lat_keys = sorted(
+        int(k.split(".")[2]) for k in state
+        if k.startswith(f"{pd}lateral_convs.") and k.endswith(".conv.weight"))
+    num_fpn = len(lat_keys)
+    for k in lat_keys:
+        lvl = num_fpn - 1 - k
+        _conv(p, ("pixel_decoder", f"lateral_conv_{lvl}"), state,
+              f"{pd}lateral_convs.{k}.conv")
+        _ln(p, ("pixel_decoder", f"lateral_gn_{lvl}", "GroupNorm_0"),
+            state, f"{pd}lateral_convs.{k}.gn")
+        _conv(p, ("pixel_decoder", f"output_conv_{lvl}"), state,
+              f"{pd}output_convs.{k}.conv")
+        _ln(p, ("pixel_decoder", f"output_gn_{lvl}", "GroupNorm_0"),
+            state, f"{pd}output_convs.{k}.gn")
+    i = 0
+    while f"{pd}input_convs.{i}.conv.weight" in state:
+        _conv(p, ("pixel_decoder", f"input_conv_{i}"), state,
+              f"{pd}input_convs.{i}.conv")
+        _ln(p, ("pixel_decoder", f"input_gn_{i}", "GroupNorm_0"), state,
+            f"{pd}input_convs.{i}.gn")
+        i += 1
+    return p
+
+
+def convert_mtl_checkpoint(state: Dict[str, np.ndarray],
+                           depths=(2, 2, 6, 2)) -> dict:
+    """Full mm-format MTL state dict -> our MTL param tree (the dict that
+    belongs under params['params']). Enables the BASELINE.md parity
+    protocol on the published HF checkpoint
+    (reference multitask_learner.py:308-353 key layout)."""
+    out: dict = {}
+    if any(k.startswith("backbone.") for k in state):
+        out["backbone"] = convert_swin_mm(
+            {k: v for k, v in state.items() if k.startswith("backbone.")},
+            depths=depths)
+    if any(k.startswith("neck.") for k in state):
+        out["neck"] = convert_channel_mapper(state)
+    if any(k.startswith("shared_encoder.") for k in state):
+        out["shared_encoder"] = convert_deformable_encoder(state)
+    if any(k.startswith("cls_head.") for k in state):
+        out["cls_head"] = convert_cls_head(state)
+    if any(k.startswith("bbox_head.") for k in state):
+        out["bbox_head"] = convert_dino_head(state)
+    if any(k.startswith("seg_head.") for k in state):
+        out["seg_head"] = convert_mask2former_head(state)
+    return out
+
+
 def merge_into_params(params: dict, sub: dict, top: str) -> dict:
     """Place a converted subtree under params['params'][top], keeping any
     keys the checkpoint did not provide (non-strict load)."""

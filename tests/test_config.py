@@ -132,3 +132,29 @@ def test_deep_merge_lists_by_index():
     out = deep_merge(base, {"pipeline": {"1": {"size": 512}}},
                      allow_list_keys=True)
     assert out["pipeline"][1]["size"] == 512
+
+
+def test_all_shipped_configs_compose_and_build():
+    """Every config under configs/ must compose (incl. _base_ chains and
+    the two-level data composition) and build its model module."""
+    import glob
+
+    from rscotr_tpu.data import load_data_cfg
+    from rscotr_tpu.models import build_model
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(
+        glob.glob(os.path.join(root, "configs", "*", "*.py")) +
+        glob.glob(os.path.join(root, "configs", "*", "*", "*.py")))
+    built = 0
+    for p in paths:
+        if os.sep + "_base_" + os.sep in p:
+            continue  # fragments, not entry configs
+        cfg = Config.fromfile(p)
+        if "model" not in cfg:
+            continue
+        cfg = load_data_cfg(cfg, config_root=root)
+        model = build_model(cfg.model)
+        assert model is not None, p
+        built += 1
+    assert built >= 15  # flagship + variants + single-task + strategies
