@@ -175,3 +175,7 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()
+    # the experimental TPU plugin can hang interpreter teardown; the JSON
+    # line is already flushed, exit hard so the driver never blocks
+    os._exit(0)

@@ -126,17 +126,19 @@ data = dict(
         task="cls",
         config="configs/_base_/cls/resisc_swin_224.py",
         data=dict(samples_per_gpu=16),
-        loader=dict(cls_size=224)),
+        loader=dict(cls_size=224, device_preprocess=True)),
     dior=dict(
         task="det",
         config="configs/_base_/det/dior.py",
         data=dict(samples_per_gpu=1),
-        loader=dict(det_bucket_hw=(800, 800), max_gt=100)),
+        loader=dict(det_bucket_hw=(800, 800), max_gt=100,
+                    device_preprocess=True)),
     potsdam=dict(
         task="seg",
         config="configs/_base_/seg/potsdam_IRRG_all.py",
         data=dict(samples_per_gpu=2),
-        loader=dict(seg_size=512, seg_pad_val=5)),
+        loader=dict(seg_size=512, seg_pad_val=5,
+                    device_preprocess=True)),
 )
 
 optimizer = dict(

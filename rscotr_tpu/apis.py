@@ -99,7 +99,36 @@ def make_step_config(cfg) -> TrainStepConfig:
         cls_label_smooth=loss_cfg.get("label_smooth_val", 0.1),
         cls_use_augments=bool(train_cls.get("augments")),
         seg_ignore_index=255,
-        cdn=cdn_cfg, det=det_cfg)
+        cdn=cdn_cfg, det=det_cfg,
+        img_norm=derive_img_norm(cfg))
+
+
+def derive_img_norm(cfg):
+    """(mean, std) for device-side preprocessing, from the Normalize op of
+    any dataset whose loader sets device_preprocess. All reference datasets
+    share the ImageNet stats; mixed stats would need per-task plumbing."""
+    found = None
+    for entry in cfg.data.values():
+        if not dict(entry.get("loader", {})).get("device_preprocess"):
+            continue
+        for split in ("train", "val", "test"):
+            dcfg = entry["data"].get(split) or {}
+            for op in dcfg.get("pipeline", []) or []:
+                if op.get("type") == "Normalize":
+                    norm = (tuple(op.get("mean")), tuple(op.get("std")))
+                    if found is not None and found != norm:
+                        raise ValueError(
+                            "device_preprocess with mixed img_norm stats "
+                            f"is unsupported: {found} vs {norm}")
+                    found = norm
+    if found is None:
+        # default ImageNet stats (used when pipelines carry no Normalize,
+        # e.g. raw-image inference with device_preprocess)
+        for entry in cfg.data.values():
+            if dict(entry.get("loader", {})).get("device_preprocess"):
+                return ((123.675, 116.28, 103.53),
+                        (58.395, 57.12, 57.375))
+    return found
 
 
 def init_model_params(model, cfg, seed: int = 0):
@@ -164,7 +193,8 @@ def make_eval_fn(cfg, model, max_per_img: int = 300,
         val_datasets = {k: v for k, v in val_datasets.items()
                         if v.task != "det"}
     loaders = build_dataloaders(val_datasets, cfg.data, train=False)
-    infer = make_infer_steps(model, max_per_img=max_per_img)
+    infer = make_infer_steps(model, max_per_img=max_per_img,
+                             img_norm=derive_img_norm(cfg))
     eval_kwargs = {t: dict(cfg.get("evaluation", {}).get(t, {}))
                    for t in ("cls", "det", "seg")}
 

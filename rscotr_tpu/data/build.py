@@ -24,7 +24,7 @@ from rscotr_tpu.config import Config, ConfigDict, DATASETS, deep_merge
 from rscotr_tpu.data.iteration_strategies import strategies_map
 from rscotr_tpu.data.loader import (MultiDataLoader, TaskDataLoader,
                                     collate_cls, collate_det, collate_seg)
-from rscotr_tpu.data.pipelines import build_pipeline
+from rscotr_tpu.data.pipelines import build_pipeline, split_normalize_cfg
 from rscotr_tpu.utils import get_root_logger
 
 
@@ -103,13 +103,31 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
             entry["data"].get("test_samples_per_gpu", 1)
         if train:
             bs = bs * max(1, world_size)
-        pipeline = build_pipeline(ds.pipeline_cfg or [])
+        pcfg = list(ds.pipeline_cfg or [])
+        collate = _COLLATES[ds.task](opts)
+        img_norm = None
+        if opts.get("device_preprocess", False):
+            # strip Normalize from the host pipeline; ship uint8, the
+            # jitted step normalizes (+ re-zeros padding) on device
+            pcfg, img_norm = split_normalize_cfg(pcfg)
+            collate = _uint8_collate(collate)
+        pipeline = build_pipeline(pcfg)
         loaders[name] = TaskDataLoader(
             ds, batch_size=bs, pipeline=pipeline,
-            collate_fn=_COLLATES[ds.task](opts),
+            collate_fn=collate,
             shuffle=train, seed=seed, drop_last=train,
             num_threads=num_threads)
+        loaders[name].img_norm = img_norm
     return loaders
+
+
+def _uint8_collate(fn):
+    def wrapped(samples):
+        batch = fn(samples)
+        batch["img"] = np.clip(np.round(batch["img"]), 0,
+                               255).astype(np.uint8)
+        return batch
+    return wrapped
 
 
 def build_iteration_strategy(cfg, loaders, seed: int = 0):

@@ -528,6 +528,22 @@ class AutoAugment:
         return run_pipeline(self.policies[i], results, rng)
 
 
+def split_normalize_cfg(cfgs: Sequence[dict]):
+    """Remove the Normalize op from a pipeline config, returning
+    (cfgs_without_normalize, norm_cfg_or_None). Used by device-side
+    preprocessing: images stay uint8 through the host pipeline and H2D
+    transfer; normalization runs on TPU inside the jitted step (SURVEY.md
+    §2b cv2/PIL row north star; cuts image transfer bytes 4x)."""
+    out, norm = [], None
+    for c in cfgs:
+        if c.get("type") == "Normalize":
+            norm = {"mean": list(c.get("mean", DEFAULT_MEAN)),
+                    "std": list(c.get("std", DEFAULT_STD))}
+        else:
+            out.append(c)
+    return out, norm
+
+
 def build_pipeline(cfgs: Sequence[dict]) -> List:
     """Build a transform list from reference-shaped pipeline configs,
     skipping torch-format bundling steps (we batch numpy directly)."""

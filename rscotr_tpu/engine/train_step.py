@@ -42,6 +42,27 @@ class TrainStepConfig:
     seg_loss_weight: float = 1.0
     cdn: Optional[CdnConfig] = None
     det: Optional[DetLossConfig] = None
+    # device-side preprocessing: (mean, std) in 0-255 range; applied inside
+    # the jitted step whenever the batch image dtype is uint8
+    img_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
+
+
+def device_normalize(img, img_norm, img_hw=None):
+    """On-TPU normalize of uint8 images (+ re-zero the padded region so it
+    matches the reference's pad-AFTER-normalize zeros). No-op for float
+    inputs (already normalized host-side)."""
+    if img.dtype != jnp.uint8:
+        return img
+    mean, std = img_norm if img_norm is not None else (
+        (123.675, 116.28, 103.53), (58.395, 57.12, 57.375))
+    x = (img.astype(jnp.float32) - jnp.asarray(mean)) / jnp.asarray(std)
+    if img_hw is not None:
+        B, H, W, _ = x.shape
+        row = jnp.arange(H)[None, :] < img_hw[:, 0][:, None]   # (B, H)
+        col = jnp.arange(W)[None, :] < img_hw[:, 1][:, None]   # (B, W)
+        keep = (row[:, :, None] & col[:, None, :])[..., None]
+        x = jnp.where(keep, x, 0.0)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -91,7 +112,7 @@ def cls_batch_augment(rng, img, labels, num_classes, mixup_alpha=0.8,
 
 def cls_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
                 train: bool = True):
-    img = batch["img"]
+    img = device_normalize(batch["img"], cfg.img_norm)
     labels = batch["gt_label"]
     if train and cfg.cls_use_augments:
         k_aug, rng = jax.random.split(rng)
@@ -110,7 +131,8 @@ def cls_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
 
 def seg_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
                 train: bool = True):
-    img = batch["img"]
+    img = device_normalize(batch["img"], cfg.img_norm,
+                           batch.get("img_hw"))
     gt = batch["gt_semantic_seg"]
     logits = model.apply(params, img, deterministic=not train,
                          rngs={"dropout": rng} if train else None,
@@ -126,8 +148,8 @@ def seg_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
 
 def det_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
                 train: bool = True):
-    img = batch["img"]
     img_hw = batch["img_hw"]
+    img = device_normalize(batch["img"], cfg.img_norm, img_hw)
     gt_bboxes = batch["gt_bboxes"]
     gt_labels = batch["gt_labels"]
     gt_valid = batch["gt_valid"]
@@ -213,17 +235,19 @@ def make_val_step(model, task: str, cfg: TrainStepConfig):
 # inference steps (reference simple_test_{task})
 # ---------------------------------------------------------------------------
 
-def make_infer_steps(model, max_per_img: int = 300):
+def make_infer_steps(model, max_per_img: int = 300, img_norm=None):
     from rscotr_tpu.models.heads.dino_loss import dino_get_bboxes
 
     @jax.jit
     def infer_cls(params, img):
+        img = device_normalize(img, img_norm)
         logits = model.apply(params, img, deterministic=True,
                              method=model.forward_cls)
         return jax.nn.softmax(logits, axis=-1)
 
     @jax.jit
     def infer_det(params, img, img_hw, scale_factor):
+        img = device_normalize(img, img_norm, img_hw)
         all_cls, all_coords, _, _ = model.apply(
             params, img, img_hw, None, None, None, deterministic=True,
             method=model.forward_det)
@@ -233,6 +257,7 @@ def make_infer_steps(model, max_per_img: int = 300):
 
     @jax.jit
     def infer_seg(params, img):
+        img = device_normalize(img, img_norm)
         logits = model.apply(params, img, deterministic=True,
                              method=model.forward_seg)
         logits = jax.image.resize(

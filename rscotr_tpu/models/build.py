@@ -12,6 +12,8 @@ from __future__ import annotations
 import copy
 from typing import Any, Dict, Optional
 
+import jax.numpy as jnp
+
 from rscotr_tpu.models.backbones.resnet import ResNet
 from rscotr_tpu.models.backbones.swin import SwinTransformer
 from rscotr_tpu.models.heads.cls_heads import MlvlClsHead, SlvlClsHead
@@ -27,7 +29,7 @@ def _pop_type(cfg: dict) -> tuple:
     return cfg.pop("type"), cfg
 
 
-def build_backbone(cfg: dict):
+def build_backbone(cfg: dict, dtype=jnp.float32):
     t, c = _pop_type(cfg)
     if t == "SwinTransformer":
         return SwinTransformer(
@@ -45,18 +47,18 @@ def build_backbone(cfg: dict):
             out_indices=tuple(c.get("out_indices", (0, 1, 2, 3))),
             with_cp=c.get("with_cp", False),
             convert_weights=c.get("convert_weights", True),
-            init_cfg=c.get("init_cfg"))
+            init_cfg=c.get("init_cfg"), dtype=dtype)
     if t == "ResNet":
         return ResNet(depth=c.get("depth", 50),
                       num_stages=c.get("num_stages", 4),
                       out_indices=tuple(c.get("out_indices", (0, 1, 2, 3))),
                       frozen_stages=c.get("frozen_stages", 1),
                       norm_eval=c.get("norm_eval", True),
-                      init_cfg=c.get("init_cfg"))
+                      init_cfg=c.get("init_cfg"), dtype=dtype)
     raise KeyError(f"unknown backbone type {t}")
 
 
-def build_neck(cfg: Optional[dict]):
+def build_neck(cfg: Optional[dict], dtype=jnp.float32):
     if cfg is None:
         return None
     t, c = _pop_type(cfg)
@@ -68,11 +70,12 @@ def build_neck(cfg: Optional[dict]):
             num_outs=c.get("num_outs", 4),
             use_norm=c.get("norm_cfg") is not None,
             norm_groups=(c.get("norm_cfg") or {}).get("num_groups", 32),
-            act="relu" if c.get("act_cfg") else None)
+            act="relu" if c.get("act_cfg") else None,
+            dtype=dtype)
     raise KeyError(f"unknown neck type {t}")
 
 
-def build_shared_encoder(cfg: dict):
+def build_shared_encoder(cfg: dict, dtype=jnp.float32):
     t, c = _pop_type(cfg)
     assert t in ("DetrTransformerEncoder",), t
     layers = c.get("transformerlayers", {})
@@ -86,16 +89,17 @@ def build_shared_encoder(cfg: dict):
         num_points=attn.get("num_points", 4),
         feedforward_channels=ffn.get("feedforward_channels", 2048),
         ffn_drop=ffn.get("ffn_drop", 0.0),
-        dropout=attn.get("dropout", 0.0))
+        dropout=attn.get("dropout", 0.0), dtype=dtype)
 
 
-def build_cls_head(cfg: Optional[dict]):
+def build_cls_head(cfg: Optional[dict], dtype=jnp.float32):
     if cfg is None:
         return None
     t, c = _pop_type(cfg)
     if t == "SlvlClsHead":
         return SlvlClsHead(num_classes=c.get("num_classes", 45),
-                           in_channels=c.get("in_channels", 768))
+                           in_channels=c.get("in_channels", 768),
+                           dtype=dtype)
     if t == "MlvlClsHead":
         pd = c.get("pixel_decoder", {}) or {}
         return MlvlClsHead(num_classes=c.get("num_classes", 45),
@@ -103,11 +107,12 @@ def build_cls_head(cfg: Optional[dict]):
                            scheme=c.get("scheme", 5),
                            num_encoder_levels=pd.get("num_encoder_levels", 4),
                            strides=tuple(pd.get("strides", (8, 16, 32, 64))),
-                           feat_channels=pd.get("feat_channels", 256))
+                           feat_channels=pd.get("feat_channels", 256),
+                           dtype=dtype)
     raise KeyError(f"unknown cls head type {t}")
 
 
-def build_bbox_head(cfg: Optional[dict]):
+def build_bbox_head(cfg: Optional[dict], dtype=jnp.float32):
     if cfg is None:
         return None
     t, c = _pop_type(cfg)
@@ -129,10 +134,11 @@ def build_bbox_head(cfg: Optional[dict]):
         num_points=msda.get("num_points", 4),
         feedforward_channels=ffn.get("feedforward_channels", 2048),
         pos_temperature=pe.get("temperature", 20),
-        sync_cls_avg_factor=c.get("sync_cls_avg_factor", True))
+        sync_cls_avg_factor=c.get("sync_cls_avg_factor", True),
+        dtype=dtype)
 
 
-def build_seg_head(cfg: Optional[dict]):
+def build_seg_head(cfg: Optional[dict], dtype=jnp.float32):
     if cfg is None:
         return None
     t, c = _pop_type(cfg)
@@ -153,23 +159,30 @@ def build_seg_head(cfg: Optional[dict]):
         num_heads=attn.get("num_heads", 8),
         num_decoder_layers=td.get("num_layers", 9),
         feedforward_channels=ffn.get("feedforward_channels", 2048),
-        pos_temperature=pe.get("temperature", 10000))
+        pos_temperature=pe.get("temperature", 10000), dtype=dtype)
 
 
 def build_model(cfg: dict):
     """Build a model (MTL / DINO / RSCoTrSeg) from a reference-shaped
-    model config."""
+    model config.
+
+    ``cfg['compute_dtype'] = 'bfloat16'`` switches every module's compute
+    dtype (params stay f32 — flax param_dtype default; bf16 activations /
+    matmuls are the TPU-natural equivalent of the reference's optional
+    fp16 AMP hooks, SURVEY.md §2b fp16 row)."""
     cfg = copy.deepcopy(dict(cfg))
     t = cfg.get("type", "MTL")
+    dtype = jnp.dtype(cfg.get("compute_dtype") or jnp.float32)
     if t == "MTL":
         neck_cfg = cfg.get("neck")
         return MTL(
-            backbone=build_backbone(cfg["backbone"]),
-            neck=build_neck(neck_cfg),
-            shared_encoder=build_shared_encoder(cfg["shared_encoder"]),
-            cls_head=build_cls_head(cfg.get("cls_head")),
-            bbox_head=build_bbox_head(cfg.get("bbox_head")),
-            seg_head=build_seg_head(cfg.get("seg_head")),
+            backbone=build_backbone(cfg["backbone"], dtype=dtype),
+            neck=build_neck(neck_cfg, dtype=dtype),
+            shared_encoder=build_shared_encoder(cfg["shared_encoder"],
+                                                dtype=dtype),
+            cls_head=build_cls_head(cfg.get("cls_head"), dtype=dtype),
+            bbox_head=build_bbox_head(cfg.get("bbox_head"), dtype=dtype),
+            seg_head=build_seg_head(cfg.get("seg_head"), dtype=dtype),
             neck_in_levels=len(neck_cfg["in_channels"]) if neck_cfg else 0,
         )
     if t == "DINO":
@@ -177,18 +190,19 @@ def build_model(cfg: dict):
         neck_cfg = cfg.get("neck")
         enc_cfg = cfg.get("encoder") or cfg.get("shared_encoder")
         return DINO(
-            backbone=build_backbone(cfg["backbone"]),
-            neck=build_neck(neck_cfg),
-            bbox_head=build_bbox_head(cfg.get("bbox_head")),
-            encoder=build_shared_encoder(enc_cfg),
+            backbone=build_backbone(cfg["backbone"], dtype=dtype),
+            neck=build_neck(neck_cfg, dtype=dtype),
+            bbox_head=build_bbox_head(cfg.get("bbox_head"), dtype=dtype),
+            encoder=build_shared_encoder(enc_cfg, dtype=dtype),
             neck_in_levels=len(neck_cfg["in_channels"]) if neck_cfg else 0)
     if t == "RSCoTrSeg":
         from rscotr_tpu.models.rscotr_seg import RSCoTrSeg
         enc_cfg = cfg.get("encoder") or cfg.get("shared_encoder")
         seg_cfg = dict(cfg.get("seg_head") or cfg.get("decode_head"))
-        head = build_seg_head(seg_cfg).clone(
+        head = build_seg_head(seg_cfg, dtype=dtype).clone(
             pixel_decoder_input_convs=True)
-        return RSCoTrSeg(backbone=build_backbone(cfg["backbone"]),
+        return RSCoTrSeg(backbone=build_backbone(cfg["backbone"],
+                                                 dtype=dtype),
                          seg_head=head,
-                         encoder=build_shared_encoder(enc_cfg))
+                         encoder=build_shared_encoder(enc_cfg, dtype=dtype))
     raise KeyError(f"unknown model type {t}")

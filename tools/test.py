@@ -75,7 +75,9 @@ def main(argv=None):
     else:
         max_per_img = (cfg.model.get("test_cfg", {}) or {}).get(
             "det", {}).get("max_per_img", 300)
-        infer = make_infer_steps(model, max_per_img=max_per_img)
+        from rscotr_tpu.apis import derive_img_norm
+        infer = make_infer_steps(model, max_per_img=max_per_img,
+                                 img_norm=derive_img_norm(cfg))
         results = single_device_test(infer, params, loaders,
                                      max_batches=args.max_batches)
         if args.out:
