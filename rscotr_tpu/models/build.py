@@ -47,7 +47,9 @@ def build_backbone(cfg: dict, dtype=jnp.float32):
             out_indices=tuple(c.get("out_indices", (0, 1, 2, 3))),
             with_cp=c.get("with_cp", False),
             convert_weights=c.get("convert_weights", True),
-            init_cfg=c.get("init_cfg"), dtype=dtype)
+            init_cfg=c.get("init_cfg"),
+            fused_window_attn=c.get("fused_window_attn", False),
+            dtype=dtype)
     if t == "ResNet":
         return ResNet(depth=c.get("depth", 50),
                       num_stages=c.get("num_stages", 4),

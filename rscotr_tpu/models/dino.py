@@ -41,11 +41,13 @@ class DINO(nn.Module):
                                 key_padding_mask=key_padding_mask,
                                 deterministic=deterministic)
 
-        return self.bbox_head(feats, img_hw, encode_fn=encode_fn,
-                              dn_label_query=dn_label_query,
-                              dn_bbox_query=dn_bbox_query,
-                              attn_mask=attn_mask,
-                              deterministic=deterministic)
+        from rscotr_tpu.models.mtl import outputs_f32
+        return outputs_f32(
+            self.bbox_head(feats, img_hw, encode_fn=encode_fn,
+                           dn_label_query=dn_label_query,
+                           dn_bbox_query=dn_bbox_query,
+                           attn_mask=attn_mask,
+                           deterministic=deterministic))
 
     # method aliases so engine train/infer steps work unchanged
     def forward_det(self, img, img_hw, dn_label_query=None,

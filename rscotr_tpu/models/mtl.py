@@ -21,12 +21,28 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from rscotr_tpu.config.registry import MODELS
 
 SUPPORTED_TASKS = ("cls", "det", "seg")
+
+
+def outputs_f32(out):
+    """Cast every floating leaf of a task-forward output to f32.
+
+    With ``compute_dtype='bfloat16'`` the modules run bf16 internally; task
+    outputs (logits/coords/masks) come back to f32 at the model boundary so
+    losses, softmaxes, and eval metrics are dtype-stable regardless of the
+    compute dtype (the cast is linear — gradients are unaffected)."""
+    def cast(x):
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype,
+                                                         jnp.floating):
+            return x.astype(jnp.float32)
+        return x
+    return jax.tree.map(cast, out)
 
 
 class MTL(nn.Module):
@@ -60,24 +76,27 @@ class MTL(nn.Module):
     # -- per-task forwards ---------------------------------------------------
     def forward_cls(self, img, deterministic: bool = True):
         nk, bb = self.extract_feat(img, deterministic)
-        return self.cls_head(nk, bb, encode_fn=self._encode_fn(deterministic),
-                             deterministic=deterministic)
+        return outputs_f32(
+            self.cls_head(nk, bb, encode_fn=self._encode_fn(deterministic),
+                          deterministic=deterministic))
 
     def forward_det(self, img, img_hw, dn_label_query=None,
                     dn_bbox_query=None, attn_mask=None,
                     deterministic: bool = True):
         nk, bb = self.extract_feat(img, deterministic)
-        return self.bbox_head(nk, img_hw,
-                              encode_fn=self._encode_fn(deterministic),
-                              dn_label_query=dn_label_query,
-                              dn_bbox_query=dn_bbox_query,
-                              attn_mask=attn_mask,
-                              deterministic=deterministic)
+        return outputs_f32(
+            self.bbox_head(nk, img_hw,
+                           encode_fn=self._encode_fn(deterministic),
+                           dn_label_query=dn_label_query,
+                           dn_bbox_query=dn_bbox_query,
+                           attn_mask=attn_mask,
+                           deterministic=deterministic))
 
     def forward_seg(self, img, deterministic: bool = True):
         nk, bb = self.extract_feat(img, deterministic)
-        return self.seg_head(nk, bb, encode_fn=self._encode_fn(deterministic),
-                             deterministic=deterministic)
+        return outputs_f32(
+            self.seg_head(nk, bb, encode_fn=self._encode_fn(deterministic),
+                          deterministic=deterministic))
 
     def _encode_fn(self, deterministic: bool) -> Callable:
         def fn(tokens, pos, ref, shapes, key_padding_mask=None,

@@ -37,8 +37,10 @@ class RSCoTrSeg(nn.Module):
         # standalone: the head's pixel decoder consumes RAW backbone levels
         # (projected by its input convs) and FPN-fuses the remaining
         # high-res levels
-        return self.seg_head(bb, bb, encode_fn=encode_fn,
-                             deterministic=deterministic)
+        from rscotr_tpu.models.mtl import outputs_f32
+        return outputs_f32(
+            self.seg_head(bb, bb, encode_fn=encode_fn,
+                          deterministic=deterministic))
 
     def forward_seg(self, img, deterministic: bool = True):
         return self(img, deterministic)

@@ -22,12 +22,15 @@ Design notes (TPU-first):
   128-lane tile (probed: (8,128) axis-0 OK, (512,128) axis-0 compiler
   crash, (512,128) axis-1 OK, (256,256) axis-1 crash) — so an arbitrary
   13k-row value-table gather cannot be expressed in a Pallas kernel on
-  this toolchain; (b) the XLA gather path runs the flagship det-encoder
-  layer (Nv=Q=13.3k, 8 heads, 4 levels, 4 points) in 0.157 ms — an
-  effective 5.5 TB/s of corner traffic, i.e. XLA's native gather engine
-  already exploits value-table locality far beyond HBM streaming. Unlike
-  GPUs (mmcv's CUDA ``ms_deform_attn`` exists because scattered loads are
-  native there), the TPU's scattered-load path IS the XLA gather op.
+  this toolchain; (b) XLA's gather engine is LOOKUP-COUNT bound at
+  ~7 ns/looked-up row — independent of row width (32 vs 128 lanes) and
+  dtype (f32 == bf16) — so the quad-table formulation below (ONE lookup
+  per sampling point, the structural minimum) is the fastest expressible
+  form: 1.7 M lookups -> ~12 ms for the flagship det-encoder layer
+  (Nv=Q=13.3k, 8 heads, 4 levels, 4 points), 2.5x the four-corner
+  formulation. Unlike GPUs (mmcv's CUDA ``ms_deform_attn`` exists because
+  scattered loads are native there), the TPU's scattered-load path IS the
+  XLA gather op.
   The Pallas kernel stays as the drop-in for future toolchains that grow
   a real gather primitive (use ``impl='pallas'`` to opt in), and is kept
   parity-tested in interpret mode.

@@ -12,6 +12,16 @@ a sublane multiple with masked softmax. Each grid program processes a
 ``win_block`` of consecutive windows for one (batch, head) — batching
 windows amortizes grid/DMA overhead over the tiny 49x49 attention problems
 (Swin-T: 841 windows x 3 heads for an 800^2 det input).
+
+MEASURED VERDICT (v5e, compiled via the remote relay, 2026-08): the kernel
+LOSES to XLA's batched-einsum path on the full flagship MTL bench —
+f32 71.7 -> 66.4 img/s, bf16 86.0 -> 78.3 img/s (cls 10.1 -> 16.4 ms) —
+because n=49 pads to 56x128 tiles per program and XLA's fused
+batched-GEMM schedule already amortizes the tiny problems better than a
+per-(batch, head, window-block) grid can. ``fused_window_attn`` therefore
+stays OFF in every config; the kernel remains parity-tested
+(tests/test_pallas.py) as infrastructure for shapes where it could win
+(larger windows / head counts).
 """
 
 from __future__ import annotations

@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Benchmark a config's inference AND training step on the current backend.
+
+The user-facing counterpart of the repo-root driver bench (bench.py):
+
+    python tools/benchmark.py CONFIG [--tasks cls det seg] [--train]
+        [--iters N] [--cls-bs 16 --det-size 800 --seg-size 512 ...]
+
+Prints a JSON object with per-task forward (and optionally fwd+bwd+update)
+times, analytic FLOPs from XLA ``cost_analysis`` and MFU. The reference has
+no benchmark tool; this closes the "performance is first-class" gap for
+users who want to measure their own configs on their own chips.
+
+Honest-timing rules (see bench.py header): distinct inputs per dispatch and
+a device->host value read to synchronize (``block_until_ready`` does not
+order correctly through the experimental axon tunnel).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+from rscotr_tpu.utils import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
+
+PEAK_FLOPS = {"v5e": 197e12, "v5 lite": 197e12, "v4": 275e12,
+              "v5p": 459e12, "v6e": 918e12}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return 0.0
+
+
+def _flops_of(compiled) -> float:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("config")
+    ap.add_argument("--tasks", nargs="+", default=None,
+                    choices=["cls", "det", "seg"])
+    ap.add_argument("--train", action="store_true",
+                    help="also time the jitted train step (fwd+bwd+update)")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--cls-bs", type=int)
+    ap.add_argument("--cls-size", type=int)
+    ap.add_argument("--det-bs", type=int)
+    ap.add_argument("--det-size", type=int)
+    ap.add_argument("--seg-bs", type=int)
+    ap.add_argument("--seg-size", type=int)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rscotr_tpu.apis import derive_img_norm, make_step_config
+    from rscotr_tpu.config import Config
+    from rscotr_tpu.data import load_data_cfg
+    from rscotr_tpu.engine import (build_optimizer, make_infer_steps,
+                                   make_train_step, task_param_masks)
+    from rscotr_tpu.models import build_model
+
+    cfg = Config.fromfile(args.config)
+    cfg = load_data_cfg(cfg)
+    model = build_model(cfg.model)
+
+    tasks = args.tasks or [t for t, key in
+                           (("cls", "cls_head"), ("det", "bbox_head"),
+                            ("seg", "seg_head"))
+                           if cfg.model.get(key) is not None]
+
+    # batch shapes come from the config's per-task loader entries (so the
+    # CDN max_gt etc. match exactly); CLI flags override
+    shapes = {"cls": dict(bs=16, size=224),
+              "det": dict(bs=1, size=800, max_gt=100),
+              "seg": dict(bs=2, size=512)}
+    for entry in cfg.data.values():
+        t = entry.get("task")
+        if t not in shapes:
+            continue
+        opts = dict(entry.get("loader", {}) or {})
+        shapes[t]["bs"] = int(entry.get("data", {}).get(
+            "samples_per_gpu", shapes[t]["bs"]))
+        if t == "cls" and "cls_size" in opts:
+            shapes[t]["size"] = int(opts["cls_size"])
+        if t == "det":
+            if "det_bucket_hw" in opts:
+                shapes[t]["size"] = int(opts["det_bucket_hw"][0])
+            shapes[t]["max_gt"] = int(opts.get("max_gt", 100))
+        if t == "seg" and "seg_size" in opts:
+            shapes[t]["size"] = int(opts["seg_size"])
+    for t in ("cls", "det", "seg"):
+        bs = getattr(args, f"{t}_bs")
+        size = getattr(args, f"{t}_size")
+        if bs:
+            shapes[t]["bs"] = bs
+        if size:
+            shapes[t]["size"] = size
+
+    rng = np.random.default_rng(0)
+    jrng = jax.random.key(0)
+
+    def cls_batch(i):
+        bs, S = shapes["cls"]["bs"], shapes["cls"]["size"]
+        return {"img": jnp.asarray(
+                    rng.normal(size=(bs, S, S, 3)).astype(np.float32)),
+                "gt_label": jnp.asarray(
+                    rng.integers(0, 2, size=(bs,)).astype(np.int32))}
+
+    def det_batch(i):
+        bs, S, G = (shapes["det"]["bs"], shapes["det"]["size"],
+                    shapes["det"]["max_gt"])
+        cx = rng.uniform(0.2, 0.8, size=(bs, G))
+        wh = rng.uniform(0.05, 0.2, size=(bs, G, 2))
+        boxes = np.stack([(cx - wh[..., 0] / 2) * S,
+                          (cx - wh[..., 1] / 2) * S,
+                          (cx + wh[..., 0] / 2) * S,
+                          (cx + wh[..., 1] / 2) * S], -1).astype(np.float32)
+        return {"img": jnp.asarray(rng.normal(
+                    size=(bs, S, S, 3)).astype(np.float32)),
+                "img_hw": jnp.asarray([[S, S]] * bs, jnp.int32),
+                "scale_factor": jnp.ones((bs, 4), jnp.float32),
+                "gt_bboxes": jnp.asarray(boxes),
+                "gt_labels": jnp.asarray(rng.integers(
+                    0, 2, size=(bs, G)).astype(np.int32)),
+                "gt_valid": jnp.asarray(
+                    np.arange(G)[None] < min(10, G)).repeat(bs, 0)}
+
+    def seg_batch(i):
+        bs, S = shapes["seg"]["bs"], shapes["seg"]["size"]
+        return {"img": jnp.asarray(rng.normal(
+                    size=(bs, S, S, 3)).astype(np.float32)),
+                "img_hw": jnp.asarray([[S, S]] * bs, jnp.int32),
+                "gt_semantic_seg": jnp.asarray(rng.integers(
+                    0, 3, size=(bs, S, S)).astype(np.int32))}
+
+    mk_batch = {"cls": cls_batch, "det": det_batch, "seg": seg_batch}
+
+    init_args = {}
+    b = cls_batch(0)
+    init_args["cls_img"] = b["img"][:1]
+    b = det_batch(0)
+    init_args["det_img"], init_args["det_img_hw"] = (b["img"][:1],
+                                                     b["img_hw"][:1])
+    init_args["seg_img"] = seg_batch(0)["img"][:1]
+    params = model.init(jrng, **init_args)
+
+    def sync(x):
+        leaf = jax.tree.leaves(x)[0]
+        return np.asarray(leaf.ravel()[0])
+
+    def timeit(fn, batches, *state):
+        out = None
+        for i in range(args.warmup):
+            out = fn(*state, batches[i % len(batches)])
+        sync(out)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = fn(*state, batches[i])
+        sync(out)
+        return (time.perf_counter() - t0) / args.iters * 1e3, out
+
+    dev = jax.devices()[0]
+    peak = _peak_flops(dev)
+    report = {"device": getattr(dev, "device_kind", str(dev)),
+              "backend": jax.default_backend(), "tasks": {}}
+
+    infer = make_infer_steps(
+        model,
+        max_per_img=(cfg.model.get("test_cfg", {}) or {}).get(
+            "det", {}).get("max_per_img", 300),
+        img_norm=derive_img_norm(cfg))
+    infer_args = {
+        "cls": lambda b: (b["img"],),
+        "det": lambda b: (b["img"], b["img_hw"], b["scale_factor"]),
+        "seg": lambda b: (b["img"],),
+    }
+    for t in tasks:
+        batches = [mk_batch[t](i) for i in range(args.iters)]
+        f = infer[t]
+        compiled = f.lower(params, *infer_args[t](batches[0])).compile()
+        fl = _flops_of(compiled)
+        ms, _ = timeit(lambda p, b: f(p, *infer_args[t](b)), batches, params)
+        entry = {"infer_ms": round(ms, 3),
+                 "infer_gflops": round(fl / 1e9, 2)}
+        if peak:
+            entry["infer_mfu"] = round(fl / (ms / 1e3) / peak, 4)
+        report["tasks"][t] = entry
+
+    if args.train:
+        step_cfg = make_step_config(cfg)
+        lr_cfg = dict(cfg.get("lr_config", {}) or {})
+        lr_cfg.setdefault("max_iters", 1000)
+        optimizer = build_optimizer(cfg.optimizer, params["params"],
+                                    lr_config=lr_cfg)
+        opt_state = optimizer.init(params["params"])
+        cls_head_cfg = cfg.model.get("cls_head") or {}
+        masks = task_param_masks(
+            params["params"],
+            cls_uses_encoder=(cls_head_cfg.get("type") == "MlvlClsHead"))
+        for t in tasks:
+            batches = [mk_batch[t](i) for i in range(args.iters)]
+            step = make_train_step(model, optimizer, t, step_cfg,
+                                   masks.get(t), donate=False)
+            compiled = step.lower(params, opt_state, batches[0],
+                                  jrng).compile()
+            fl = _flops_of(compiled)
+            def run(p, s, b):
+                return step(p, s, b, jrng)[2]
+            ms, _ = timeit(run, batches, params, opt_state)
+            report["tasks"][t]["train_ms"] = round(ms, 3)
+            report["tasks"][t]["train_gflops"] = round(fl / 1e9, 2)
+            if peak:
+                report["tasks"][t]["train_mfu"] = round(
+                    fl / (ms / 1e3) / peak, 4)
+
+    print(json.dumps(report, indent=2))
+    sys.stdout.flush()
+    return report
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)
