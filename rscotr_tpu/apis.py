@@ -137,10 +137,10 @@ def init_model_params(model, cfg, seed: int = 0):
     shapes = derive_shapes(cfg)
     rng = jax.random.key(seed)
     kwargs = {}
-    if "cls" in shapes and model.cls_head is not None:
+    if "cls" in shapes and getattr(model, "cls_head", None) is not None:
         s = shapes["cls"]
         kwargs["cls_img"] = jnp.zeros((1,) + s[1:])
-    if "det" in shapes and model.bbox_head is not None:
+    if "det" in shapes and getattr(model, "bbox_head", None) is not None:
         s = shapes["det"]
         kwargs["det_img"] = jnp.zeros((1,) + s[1:])
         kwargs["det_img_hw"] = jnp.asarray([[s[1], s[2]]], jnp.int32)
@@ -153,7 +153,7 @@ def init_model_params(model, cfg, seed: int = 0):
                 (1, step_cfg.cdn.pad_size, 4))
             kwargs["attn_mask"] = jnp.asarray(
                 cdn_self_attn_mask(step_cfg.cdn))
-    if "seg" in shapes and model.seg_head is not None:
+    if "seg" in shapes and getattr(model, "seg_head", None) is not None:
         s = shapes["seg"]
         kwargs["seg_img"] = jnp.zeros((1,) + s[1:])
     return model.init(rng, **kwargs)

@@ -7,7 +7,8 @@ from rscotr_tpu.engine.optimizer import (MtlOptimizer, build_optimizer,
                                          paramwise_multipliers,
                                          task_param_masks)
 from rscotr_tpu.engine.runner import IterBasedRunner
-from rscotr_tpu.engine.test import evaluate_results, single_device_test
+from rscotr_tpu.engine.test import (evaluate_results, multi_process_test,
+                                    single_device_test)
 from rscotr_tpu.engine.train_step import (TrainStepConfig, cls_batch_augment,
                                           make_infer_steps, make_train_step,
                                           make_val_step, parse_losses)
@@ -17,7 +18,8 @@ __all__ = [
     "Hook", "LogHook", "CheckpointHook", "KeyIndicator",
     "MultiDatasetsEvalHook", "MtlOptimizer", "build_optimizer",
     "make_lr_schedule", "paramwise_multipliers", "task_param_masks",
-    "IterBasedRunner", "single_device_test", "evaluate_results",
+    "IterBasedRunner", "single_device_test", "multi_process_test",
+    "evaluate_results",
     "TrainStepConfig", "make_train_step", "make_val_step",
     "make_infer_steps", "parse_losses", "cls_batch_augment",
 ]

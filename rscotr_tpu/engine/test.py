@@ -56,6 +56,42 @@ def single_device_test(infer_steps: Dict[str, Callable], params,
                        max_batches: int = 0,
                        mesh=None) -> Dict[str, List]:
     """Returns dict dataset_name -> list of per-image results."""
+    indexed = _strided_test(infer_steps, params, loaders,
+                            max_batches=max_batches, mesh=mesh,
+                            stride=1, offset=0)
+    return {name: [r for _, r in items] for name, items in indexed.items()}
+
+
+def multi_process_test(infer_steps: Dict[str, Callable], params,
+                       loaders: Dict[str, Any],
+                       max_batches: int = 0,
+                       mesh=None) -> Dict[str, List]:
+    """Multi-host eval: each process evaluates a strided subset of batches,
+    then ragged results are exchanged via ``process_allgather`` (the
+    TPU-native replacement for the reference's tmpdir/CPU-tensor
+    ``collect_results`` path behind mtl/engine/test.py:41-53). Every
+    process returns the full, index-ordered result dict."""
+    import jax as _jax
+
+    from rscotr_tpu.parallel.multihost import (all_gather_pyobjects,
+                                               merge_strided_results)
+
+    pc = _jax.process_count()
+    if pc == 1:
+        return single_device_test(infer_steps, params, loaders,
+                                  max_batches=max_batches, mesh=mesh)
+    local = _strided_test(infer_steps, params, loaders,
+                          max_batches=max_batches, mesh=mesh,
+                          stride=pc, offset=_jax.process_index())
+    return merge_strided_results(all_gather_pyobjects(local))
+
+
+def _strided_test(infer_steps: Dict[str, Callable], params,
+                  loaders: Dict[str, Any], max_batches: int = 0,
+                  mesh=None, stride: int = 1, offset: int = 0
+                  ) -> Dict[str, List]:
+    """Evaluate batches with ``batch_idx % stride == offset``; returns
+    dict dataset_name -> [(global_sample_idx, result), ...]."""
     logger = get_root_logger()
     place = _batch_placer(mesh)
     results: Dict[str, List] = {}
@@ -67,11 +103,14 @@ def single_device_test(infer_steps: Dict[str, Callable], params,
         for bi, batch in enumerate(iter(loader)):
             if max_batches and bi >= max_batches:
                 break
+            if bi % stride != offset:
+                continue
             batch, valid = _pad_batch(batch, bs)
             batch = place(batch)
+            base = bi * bs
             if task == "cls":
                 probs = np.asarray(step(params, batch["img"]))
-                out.extend(list(probs[:valid]))
+                out.extend((base + i, probs[i]) for i in range(valid))
             elif task == "det":
                 det, labels = step(params, batch["img"], batch["img_hw"],
                                    batch["scale_factor"])
@@ -81,7 +120,7 @@ def single_device_test(infer_steps: Dict[str, Callable], params,
                 for i in range(valid):
                     per_class = [det[i][labels[i] == c].astype(np.float32)
                                  for c in range(K)]
-                    out.append(per_class)
+                    out.append((base + i, per_class))
             elif task == "seg":
                 preds = np.asarray(step(params, batch["img"]))
                 hw = batch.get("img_hw")
@@ -92,9 +131,10 @@ def single_device_test(infer_steps: Dict[str, Callable], params,
                         p = p[:hw[i, 0], :hw[i, 1]]
                     if ori is not None:
                         p = _resize_labels_nearest(p, np.asarray(ori[i]))
-                    out.append(p.astype(np.int32))
+                    out.append((base + i, p.astype(np.int32)))
         results[name] = out
-        logger.info("evaluated %s: %d samples", name, len(out))
+        logger.info("evaluated %s: %d samples%s", name, len(out),
+                    f" (process {offset}/{stride})" if stride > 1 else "")
     return results
 
 

@@ -33,7 +33,12 @@ Design notes (TPU-first):
   XLA gather op.
   The Pallas kernel stays as the drop-in for future toolchains that grow
   a real gather primitive (use ``impl='pallas'`` to opt in), and is kept
-  parity-tested in interpret mode.
+  parity-tested in interpret mode; (c) gather-as-one-hot-matmul (probed
+  2026-08: XLA one-hot loses at every level size — 8.3-15.3 ms vs
+  5.6-6.7 ms take for 425k lookups; a Pallas kernel building the one-hot
+  in VMEM and contracting on the MXU wins only at the smallest level,
+  169 rows: 4.8 vs 5.8 ms, and loses at 625+ rows) — not worth the
+  precision/complexity cost, so the quad-gather stays the only path.
 """
 
 from __future__ import annotations

@@ -19,7 +19,7 @@ No torch import is required to WRITE params — tensors arrive as numpy
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -358,6 +358,45 @@ def convert_mask2former_head(state: Dict[str, np.ndarray],
             f"{pd}input_convs.{i}.gn")
         i += 1
     return p
+
+
+def convert_resnet(state: Dict[str, np.ndarray],
+                   prefix: str = "backbone.") -> Tuple[dict, dict]:
+    """mm/torchvision ResNet state dict -> (params, batch_stats) trees for
+    backbones/resnet.py. Key layout: conv1/bn1, layer{s}.{b}.conv{i}/bn{i},
+    layer{s}.{b}.downsample.0 (conv) / .1 (bn) — identical in torchvision
+    and mmcv ResNet (the reference's r50 configs load torchvision weights,
+    /root/reference/configs/det/dino_4scale_r50_1x1_50e_dior.py:8-10).
+    Running BN stats land in batch_stats (frozen-BN parity: mmdet
+    norm_eval=True runs BN in eval mode during training)."""
+    state = {k.removeprefix(prefix): v for k, v in state.items()
+             if k.startswith(prefix)}
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(path, key):
+        _ln(params, path + ("bn",), state, key)
+        _put(stats, path + ("bn", "mean"), state[f"{key}.running_mean"])
+        _put(stats, path + ("bn", "var"), state[f"{key}.running_var"])
+
+    _conv(params, ("conv1",), state, "conv1")
+    bn(("bn1",), "bn1")
+    s = 1
+    while f"layer{s}.0.conv1.weight" in state:
+        b = 0
+        while f"layer{s}.{b}.conv1.weight" in state:
+            bp = (f"layer{s}_block{b}",)
+            for i in (1, 2, 3):
+                _conv(params, bp + (f"conv{i}",), state,
+                      f"layer{s}.{b}.conv{i}")
+                bn(bp + (f"bn{i}",), f"layer{s}.{b}.bn{i}")
+            if f"layer{s}.{b}.downsample.0.weight" in state:
+                _conv(params, bp + ("downsample_conv",), state,
+                      f"layer{s}.{b}.downsample.0")
+                bn(bp + ("downsample_bn",), f"layer{s}.{b}.downsample.1")
+            b += 1
+        s += 1
+    return params, stats
 
 
 def convert_mtl_checkpoint(state: Dict[str, np.ndarray],

@@ -449,3 +449,89 @@ class TestFullHeadConversion:
         want = _leaf_paths(params["params"])
         got = _leaf_paths(converted)
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ResNet backbone (torchvision/mm key layout) -> flax + batch_stats
+# ---------------------------------------------------------------------------
+
+class TorchBottleneck(tnn.Module):
+    def __init__(self, cin, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(out + idt)
+
+
+class TorchMiniResNet(tnn.Module):
+    """2-stage bottleneck ResNet, torchvision/mmcv state-dict key layout
+    (conv1/bn1/layer{s}.{b}.../downsample.0|1)."""
+
+    def __init__(self, blocks=(3, 4)):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        cin, planes = 64, 64
+        for s, nb in enumerate(blocks):
+            stage = []
+            for b in range(nb):
+                stride = (1 if s == 0 else 2) if b == 0 else 1
+                stage.append(TorchBottleneck(cin, planes, stride=stride,
+                                             downsample=(b == 0)))
+                cin = planes * 4
+            setattr(self, f"layer{s + 1}", tnn.Sequential(*stage))
+            planes *= 2
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.max_pool2d(x, 3, stride=2, padding=1)
+        outs = []
+        for s in (1, 2):
+            x = getattr(self, f"layer{s}")(x)
+            outs.append(x)
+        return outs
+
+
+def test_resnet_conversion_matches_torch():
+    from rscotr_tpu.models.backbones.resnet import ResNet
+
+    tm = TorchMiniResNet()
+    tm.eval()
+    # non-trivial running stats
+    with torch.no_grad():
+        for _ in range(2):
+            tm(torch.randn(2, 3, 64, 64))
+    tm.eval()
+
+    state = {f"backbone.{k}": v for k, v in sd_np(tm).items()}
+    p, stats = tc.convert_resnet(state)
+
+    rn = ResNet(depth=50, num_stages=2, out_indices=(0, 1),
+                norm_eval=True)
+    x = np.random.default_rng(0).normal(
+        size=(2, 64, 64, 3)).astype(np.float32)
+    variables = {"params": p, "batch_stats": stats}
+    with jax.default_matmul_precision("highest"):
+        outs = rn.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        touts = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for o, to in zip(outs, touts):
+        np.testing.assert_allclose(
+            np.asarray(o), to.numpy().transpose(0, 2, 3, 1),
+            atol=2e-3, rtol=1e-3)

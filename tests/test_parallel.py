@@ -136,3 +136,47 @@ def test_multidataloader_reignite_reshuffles():
     second = [int(x) for _ in range(4) for x in next(it)["gt_label"]]
     assert sorted(first) == sorted(second)  # same data ...
     assert first != second                  # ... different order
+
+
+def test_all_gather_pyobjects_single_process():
+    from rscotr_tpu.parallel.multihost import all_gather_pyobjects
+
+    obj = {"a": [np.arange(3), "x"], "b": 7}
+    out = all_gather_pyobjects(obj)
+    assert len(out) == 1
+    np.testing.assert_array_equal(out[0]["a"][0], np.arange(3))
+    assert out[0]["b"] == 7
+
+
+def test_merge_strided_results_orders_by_index():
+    from rscotr_tpu.parallel.multihost import merge_strided_results
+
+    p0 = {"d": [(0, "r0"), (2, "r2")], "e": [(1, "e1")]}
+    p1 = {"d": [(1, "r1"), (3, "r3")], "e": [(0, "e0")]}
+    merged = merge_strided_results([p0, p1])
+    assert merged["d"] == ["r0", "r1", "r2", "r3"]
+    assert merged["e"] == ["e0", "e1"]
+
+
+def test_multi_process_test_single_process_equals_single_device():
+    """multi_process_test with process_count()==1 must be exactly the
+    single-device path (same results, same ordering)."""
+    from rscotr_tpu.data.datasets import SyntheticClsDataset
+    from rscotr_tpu.data.loader import TaskDataLoader, collate_cls
+    from rscotr_tpu.engine import multi_process_test, single_device_test
+
+    ds = SyntheticClsDataset(length=6, img_size=8, num_classes=4)
+    ds.dataset_name = "a"
+    ds.task = "cls"
+    dl = TaskDataLoader(ds, batch_size=2, collate_fn=collate_cls,
+                        shuffle=False, seed=0, num_threads=1)
+
+    def fake_cls_step(params, img):
+        return np.asarray(img).mean(axis=(1, 2))   # (B, 3) pseudo-probs
+
+    a = single_device_test({"cls": fake_cls_step}, None, {"a": dl})
+    b = multi_process_test({"cls": fake_cls_step}, None, {"a": dl})
+    assert list(a) == list(b) == ["a"]
+    assert len(a["a"]) == len(b["a"]) == 6
+    for x, y in zip(a["a"], b["a"]):
+        np.testing.assert_array_equal(x, y)

@@ -58,7 +58,7 @@ def main(argv=None):
 
     from rscotr_tpu.apis import make_step_config  # noqa: F401
     from rscotr_tpu.engine import (evaluate_results, load_checkpoint,
-                                   make_infer_steps, single_device_test)
+                                   make_infer_steps, multi_process_test)
     from rscotr_tpu.models import build_model
 
     model = build_model(cfg.model)
@@ -78,7 +78,7 @@ def main(argv=None):
         from rscotr_tpu.apis import derive_img_norm
         infer = make_infer_steps(model, max_per_img=max_per_img,
                                  img_norm=derive_img_norm(cfg))
-        results = single_device_test(infer, params, loaders,
+        results = multi_process_test(infer, params, loaders,
                                      max_batches=args.max_batches)
         if args.out:
             with open(args.out, "wb") as f:
