@@ -98,17 +98,21 @@ def _targets_single(col4row, gt_bboxes_xyxy, gt_labels, gt_valid, img_hw,
 
 
 def loss_single_layer(cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_valid,
-                      img_hw, cfg: DetLossConfig):
+                      img_hw, cfg: DetLossConfig, col4row=None):
     """Matching loss for one decoder layer (or the encoder top-k).
 
     cls_scores: (B, Nq, K); bbox_preds: (B, Nq, 4) normalized cxcywh;
-    gt_bboxes: (B, G, 4) absolute xyxy; img_hw: (B, 2).
-    """
+    gt_bboxes: (B, G, 4) absolute xyxy; img_hw: (B, 2). ``col4row`` may be
+    precomputed (batched across layers — see dino_loss); the on-device
+    Hungarian scan is latency-bound (~10 ms at 900x100 on v5e) and vmaps
+    almost for free, so matching all layers in ONE vmapped call instead of
+    7 sequential ones saves ~60 ms per det train step."""
     B, Nq, K = cls_scores.shape
     sg = jax.lax.stop_gradient
-    col4row = jax.vmap(_match_single, in_axes=(0, 0, 0, 0, 0, 0, None))(
-        sg(cls_scores), sg(bbox_preds), gt_bboxes, gt_labels, gt_valid,
-        img_hw, cfg)
+    if col4row is None:
+        col4row = jax.vmap(_match_single, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            sg(cls_scores), sg(bbox_preds), gt_bboxes, gt_labels, gt_valid,
+            img_hw, cfg)
     labels, bbox_t, bbox_w = jax.vmap(
         _targets_single, in_axes=(0, 0, 0, 0, 0, None, None))(
             col4row, gt_bboxes, gt_labels, gt_valid, img_hw, Nq, cfg)
@@ -177,16 +181,43 @@ def dino_loss(all_cls, all_coords, topk_score, topk_anchor,
     L = m_cls.shape[0]
     out: Dict[str, jnp.ndarray] = {}
 
+    # ONE vmapped Hungarian over (encoder-interm + L decoder layers) x B:
+    # the LAP while_loops run in lockstep instead of 7 sequential scans.
+    sg = jax.lax.stop_gradient
+    if topk_score.shape == m_cls[0].shape:
+        stack_cls = jnp.concatenate([topk_score[None], m_cls], axis=0)
+        stack_box = jnp.concatenate([topk_anchor[None], m_coords], axis=0)
+    else:  # differing proposal count: match decoder layers only in batch
+        stack_cls, stack_box = m_cls, m_coords
+    S, B = stack_cls.shape[0], stack_cls.shape[1]
+
+    def tile(x):
+        return jnp.broadcast_to(x[None], (S,) + x.shape).reshape(
+            (S * B,) + x.shape[1:])
+
+    flat_match = jax.vmap(_match_single,
+                          in_axes=(0, 0, 0, 0, 0, 0, None))(
+        sg(stack_cls).reshape((S * B,) + stack_cls.shape[2:]),
+        sg(stack_box).reshape((S * B,) + stack_box.shape[2:]),
+        tile(gt_bboxes), tile(gt_labels), tile(gt_valid), tile(img_hw), cfg)
+    col4row_all = flat_match.reshape((S, B) + flat_match.shape[1:])
+    if topk_score.shape == m_cls[0].shape:
+        interm_col, layer_cols = col4row_all[0], col4row_all[1:]
+    else:
+        interm_col, layer_cols = None, col4row_all
+
     # encoder (interm) loss on top-k proposals
     e_cls, e_bbox, e_iou = loss_single_layer(
-        topk_score, topk_anchor, gt_bboxes, gt_labels, gt_valid, img_hw, cfg)
+        topk_score, topk_anchor, gt_bboxes, gt_labels, gt_valid, img_hw,
+        cfg, col4row=interm_col)
     out["interm_loss_cls"] = e_cls
     out["interm_loss_bbox"] = e_bbox
     out["interm_loss_iou"] = e_iou
 
     for lyr in range(L):
         c, b, i = loss_single_layer(m_cls[lyr], m_coords[lyr], gt_bboxes,
-                                    gt_labels, gt_valid, img_hw, cfg)
+                                    gt_labels, gt_valid, img_hw, cfg,
+                                    col4row=layer_cols[lyr])
         dc, db, di = loss_dn_single_layer(dn_cls[lyr], dn_coords[lyr],
                                           gt_bboxes, gt_labels, gt_valid,
                                           img_hw, cdn_cfg, cfg)
