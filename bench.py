@@ -71,6 +71,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from rscotr_tpu.config import Config
     from rscotr_tpu.data import load_data_cfg
     from rscotr_tpu.engine import make_infer_steps
