@@ -26,3 +26,20 @@ def honor_jax_platforms_env() -> None:
         jax.config.update("jax_platforms", plats)
     except RuntimeError:
         pass  # backend already initialized; too late to switch
+
+
+def setup_compile_cache(path: str | None = None) -> None:
+    """Enable the persistent XLA compile cache for this process.
+
+    The flagship train graphs take minutes to compile on this host; every
+    CLI calls this so repeat runs (and crashed/timed-out runs) reuse
+    compiled executables. ``JAX_COMPILATION_CACHE_DIR`` overrides the
+    default /tmp/jax_cache.
+    """
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -25,9 +25,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-from rscotr_tpu.utils import honor_jax_platforms_env  # noqa: E402
+from rscotr_tpu.utils import (honor_jax_platforms_env,  # noqa: E402
+                              setup_compile_cache)
 
 honor_jax_platforms_env()
+setup_compile_cache()
 
 PEAK_FLOPS = {"v5e": 197e12, "v5 lite": 197e12, "v4": 275e12,
               "v5p": 459e12, "v6e": 918e12}

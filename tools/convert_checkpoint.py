@@ -21,9 +21,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-from rscotr_tpu.utils import honor_jax_platforms_env  # noqa: E402
+from rscotr_tpu.utils import (honor_jax_platforms_env,  # noqa: E402
+                              setup_compile_cache)
 
 honor_jax_platforms_env()
+setup_compile_cache()
 
 
 def load_torch_state(path):

@@ -19,9 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rscotr_tpu.config import Config  # noqa: E402
-from rscotr_tpu.utils import honor_jax_platforms_env  # noqa: E402
+from rscotr_tpu.utils import (honor_jax_platforms_env,  # noqa: E402
+                              setup_compile_cache)
 
 honor_jax_platforms_env()
+setup_compile_cache()
 
 # ImageNet mean/std in 0-255 range (reference img_norm_cfg)
 MEAN = np.array([123.675, 116.28, 103.53], np.float32)

@@ -16,9 +16,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
-from rscotr_tpu.utils import honor_jax_platforms_env
+from rscotr_tpu.utils import (honor_jax_platforms_env,
+                              setup_compile_cache)
 
 honor_jax_platforms_env()
+setup_compile_cache()
 
 from rscotr_tpu.config import Config, DictAction
 from rscotr_tpu.data import collate_cls, collate_det, collate_seg, \

@@ -18,9 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 from rscotr_tpu.config import Config, DictAction
 from rscotr_tpu.data import build_dataloaders, build_datasets, load_data_cfg
-from rscotr_tpu.utils import get_root_logger, honor_jax_platforms_env
+from rscotr_tpu.utils import (get_root_logger, honor_jax_platforms_env,
+                              setup_compile_cache)
 
 honor_jax_platforms_env()
+setup_compile_cache()
 
 
 def parse_args(argv=None):

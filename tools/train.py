@@ -19,9 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 from rscotr_tpu.config import Config, DictAction, replace_cfg_vals
 from rscotr_tpu.data import load_data_cfg
 from rscotr_tpu.utils import (collect_env, get_root_logger,
-                              honor_jax_platforms_env, set_random_seed)
+                              honor_jax_platforms_env, set_random_seed,
+                              setup_compile_cache)
 
 honor_jax_platforms_env()
+setup_compile_cache()
 
 
 def parse_args(argv=None):
