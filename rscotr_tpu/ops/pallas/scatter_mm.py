@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: grouped scatter-add as a one-hot matmul on the MXU.
+
+Computes ``out[g, r, :] = sum_{k: idx[g, k] == r} updates[g, k, :]`` — the
+transpose of a grouped row gather. This is the gradient of the MSDA quad
+gather w.r.t. the value table (rscotr_tpu/ops/ms_deform_attn.py): the
+reference's CUDA ``ms_deform_attn_backward`` does this scatter with atomic
+adds (mmcv kernel semantics); XLA:TPU lowers it to a serializing scatter-add
+measured at ~20 ns/update (~3x the 7 ns/lookup gather floor, and it
+accumulates in the update dtype).
+
+The kernel instead builds one-hot blocks in VMEM with an iota-compare and
+contracts them on the MXU, accumulating in f32:
+
+    out_block[nv, C] += onehot(idx_block)[nv, k] @ updates_block[k, C]
+
+FLOPs are 2*Nv*K*C per group, so this wins exactly where XLA's scatter is
+count-bound and Nv is moderate (every MSDA level at flagship shapes:
+10000/2500/625/169 rows). Measured v5e (det encoder, 6 layers, 10.2 M
+updates): XLA scatter-add ~204 ms -> this kernel path ~see
+ms_deform_attn.py docstring. Per-element cost model: one VPU compare per
+one-hot entry (1/1024 cycle) buys 128 MXU MACs (~1/512 cycle at 4 MXUs) —
+the matmul dominates, so the one-hot build is effectively free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(idx_ref, u_ref, o_ref, *, nv_block: int, acc_dtype):
+    # blocks: idx (k_block,) i32 (flat per-group slice); u (1, k_block, C);
+    # o (1, nv_block, C) f32
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    n = pl.program_id(1)
+    k_block = idx_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nv_block, k_block), 0) + \
+        n * nv_block
+    onehot = (rows == idx_ref[...][None, :]).astype(acc_dtype)   # (nv, k)
+    o_ref[0] += jnp.dot(onehot, u_ref[0].astype(acc_dtype),
+                        preferred_element_type=jnp.float32)
+
+
+def scatter_add_mm(updates: jnp.ndarray, idx: jnp.ndarray, num_rows: int,
+                   nv_block: int = 1024, k_block: int = 1024,
+                   acc_dtype=jnp.bfloat16,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Grouped scatter-add via MXU one-hot matmuls.
+
+    Args:
+        updates: (G, K, C) — C must be a multiple of 128 for peak layout.
+        idx: (G, K) int32 row targets in [0, num_rows).
+        num_rows: output rows per group.
+        acc_dtype: one-hot/updates matmul input dtype (accumulation is
+            always f32; bf16 inputs run the MXU at full rate).
+    Returns:
+        (G, num_rows, C) float32.
+    """
+    G, K, C = updates.shape
+    assert idx.shape == (G, K)
+    kb = min(k_block, _round_up(K, 128))
+    nb = min(nv_block, _round_up(num_rows, 8))
+    Kp = _round_up(K, kb)
+    Np = _round_up(num_rows, nb)
+    if Kp != K:
+        updates = jnp.pad(updates, ((0, 0), (0, Kp - K), (0, 0)))
+        # padded updates are zero, so their target row is irrelevant
+        idx = jnp.pad(idx, ((0, 0), (0, Kp - K)))
+
+    kblocks = Kp // kb
+    out = pl.pallas_call(
+        functools.partial(_kernel, nv_block=nb, acc_dtype=acc_dtype),
+        grid=(G, Np // nb, kblocks),
+        in_specs=[
+            # flat 1-D blocks: Mosaic's (8, 128) tiling rule rejects a
+            # (1, kb) 2-D block of the (G, K) index array
+            pl.BlockSpec((kb,), lambda g, n, k: (g * kblocks + k,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, C), lambda g, n, k: (g, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nb, C), lambda g, n, k: (g, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Np, C), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32).reshape(-1), updates)
+    return out[:, :num_rows, :]
+
+
+def scatter_add_xla(updates: jnp.ndarray, idx: jnp.ndarray,
+                    num_rows: int) -> jnp.ndarray:
+    """Oracle/fallback: XLA scatter-add (f32 accumulate)."""
+    G, K, C = updates.shape
+    out = jnp.zeros((G, num_rows, C), jnp.float32)
+    return out.at[jnp.arange(G)[:, None], idx].add(
+        updates.astype(jnp.float32))

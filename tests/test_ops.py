@@ -103,6 +103,27 @@ class TestMsDeformAttn:
             assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(gv).sum()) > 0
 
+    def test_grad_pallas_scatter_mm_matches_xla(self):
+        """The MXU one-hot-matmul backward (value cotangent via
+        ops/pallas/scatter_mm.py, interpret mode) must match the XLA
+        scatter-add backward for every input's gradient."""
+        value, shapes, loc, attn = self._rand_inputs(seed=2)
+
+        def make(bwd_impl):
+            def f(v, l, a):
+                out = ops.ms_deform_attn(v, shapes, l, a, impl="xla",
+                                         bwd_impl=bwd_impl)
+                return jnp.sum(out * jnp.cos(out))
+            return jax.grad(f, argnums=(0, 1, 2))
+
+        args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+        g_xla = make("xla")(*args)
+        g_mm = make("pallas_mm_interpret")(*args)
+        for a, b in zip(g_xla, g_mm):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+        assert float(jnp.abs(g_xla[0]).sum()) > 0
+
 
 class TestHungarian:
     @pytest.mark.parametrize("seed", range(5))

@@ -133,3 +133,34 @@ class TestMsDeformAttnPallas:
         for a_, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestScatterAddMM:
+    """ops/pallas/scatter_mm.py — the MSDA backward's MXU scatter."""
+
+    @pytest.mark.parametrize("shape", [
+        (2, 300, 128, 37),      # rows not a multiple of the block
+        (1, 100, 32, 9),        # narrow rows (C=32), tiny table
+        (3, 1500, 128, 1024),   # K > k_block after padding
+    ])
+    def test_matches_xla_scatter(self, shape):
+        from rscotr_tpu.ops.pallas.scatter_mm import (scatter_add_mm,
+                                                      scatter_add_xla)
+        G, K, C, R = shape
+        rng = np.random.default_rng(G * K)
+        upd = jnp.asarray(rng.normal(size=(G, K, C)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, R, size=(G, K)).astype(np.int32))
+        ref = scatter_add_xla(upd, idx, R)
+        out = scatter_add_mm(upd, idx, R, acc_dtype=jnp.float32,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_duplicate_indices_accumulate(self):
+        from rscotr_tpu.ops.pallas.scatter_mm import scatter_add_mm
+        upd = jnp.ones((1, 64, 128), jnp.float32)
+        idx = jnp.zeros((1, 64), jnp.int32)   # all 64 updates hit row 0
+        out = scatter_add_mm(upd, idx, 8, acc_dtype=jnp.float32,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(out[0, 0]), 64.0)
+        np.testing.assert_allclose(np.asarray(out[0, 1:]), 0.0)
