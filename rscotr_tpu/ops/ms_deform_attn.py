@@ -123,14 +123,12 @@ def _quad_gather_bwd(dims, bwd_impl, gidx, d_g):
     d_g = d_g.reshape(B, Hn, Q, L, P, C)
 
     if bwd_impl == "auto":
-        # pallas_mm on the single-chip TPU bf16 path. Under a multi-device
-        # jit the SPMD partitioner has no partitioning rule for pallas_call
-        # and would replicate its operands; multi-chip training keeps the
-        # XLA scatter until a shard_map integration lands (force
-        # bwd_impl='pallas_mm' to override).
+        # pallas_mm on the TPU bf16 path. scatter_add_mm carries a
+        # custom_partitioning rule that shards along the group axis
+        # (G = B*heads, batch-major), so it composes with multi-device
+        # data-parallel jit without replication.
         use_pallas = (jax.default_backend() == "tpu"
-                      and qt_dtype == jnp.bfloat16
-                      and jax.device_count() == 1)
+                      and qt_dtype == jnp.bfloat16)
         bwd_impl = "pallas_mm" if use_pallas else "xla"
 
     import numpy as np

@@ -29,7 +29,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,6 +62,12 @@ def scatter_add_mm(updates: jnp.ndarray, idx: jnp.ndarray, num_rows: int,
                    interpret: bool = False) -> jnp.ndarray:
     """Grouped scatter-add via MXU one-hot matmuls.
 
+    SPMD-partitionable along the group axis G (``custom_partitioning``):
+    under a multi-device jit with the batch (and hence G = B*heads) sharded
+    over the data axis, each device runs the kernel on its local groups —
+    no replication, no collectives (groups are independent). All other
+    axes are forced replicated.
+
     Args:
         updates: (G, K, C) — C must be a multiple of 128 for peak layout.
         idx: (G, K) int32 row targets in [0, num_rows).
@@ -69,6 +77,12 @@ def scatter_add_mm(updates: jnp.ndarray, idx: jnp.ndarray, num_rows: int,
     Returns:
         (G, num_rows, C) float32.
     """
+    return _scatter_add_mm_sharded(updates, idx, num_rows, nv_block,
+                                   k_block, acc_dtype, interpret)
+
+
+def _scatter_add_mm_local(updates, idx, num_rows, nv_block, k_block,
+                          acc_dtype, interpret):
     G, K, C = updates.shape
     assert idx.shape == (G, K)
     kb = min(k_block, _round_up(K, 128))
@@ -98,6 +112,47 @@ def scatter_add_mm(updates: jnp.ndarray, idx: jnp.ndarray, num_rows: int,
         interpret=interpret,
     )(idx.astype(jnp.int32).reshape(-1), updates)
     return out[:, :num_rows, :]
+
+
+@functools.partial(custom_partitioning, static_argnums=(2, 3, 4, 5, 6))
+def _scatter_add_mm_sharded(updates, idx, num_rows, nv_block, k_block,
+                            acc_dtype, interpret):
+    return _scatter_add_mm_local(updates, idx, num_rows, nv_block, k_block,
+                                 acc_dtype, interpret)
+
+
+def _g_spec(arg_shapes):
+    spec = arg_shapes[0].sharding.spec
+    return spec[0] if len(spec) else None
+
+
+def _sharded_partition(num_rows, nv_block, k_block, acc_dtype, interpret,
+                       mesh, arg_shapes, result_shape):
+    g = _g_spec(arg_shapes)
+
+    def lower_fn(updates, idx):
+        return _scatter_add_mm_local(updates, idx, num_rows, nv_block,
+                                     k_block, acc_dtype, interpret)
+
+    return (mesh, lower_fn,
+            NamedSharding(mesh, P(g, None, None)),
+            (NamedSharding(mesh, P(g, None, None)),
+             NamedSharding(mesh, P(g, None))))
+
+
+def _sharded_infer(num_rows, nv_block, k_block, acc_dtype, interpret,
+                   mesh, arg_shapes, result_shape):
+    return NamedSharding(mesh, P(_g_spec(arg_shapes), None, None))
+
+
+_scatter_add_mm_sharded.def_partition(
+    partition=_sharded_partition,
+    infer_sharding_from_operands=_sharded_infer,
+    # shardy rule: G is the only partitionable axis; sharding K would need
+    # a cross-shard reduction and sharding C/N would split kernel tiles
+    sharding_rule="g k c, g k -> g n c",
+    need_replication_factors=("k", "c", "n"),
+)
 
 
 def scatter_add_xla(updates: jnp.ndarray, idx: jnp.ndarray,

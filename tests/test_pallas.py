@@ -164,3 +164,63 @@ class TestScatterAddMM:
                              interpret=True)
         np.testing.assert_allclose(np.asarray(out[0, 0]), 64.0)
         np.testing.assert_allclose(np.asarray(out[0, 1:]), 0.0)
+
+
+class TestScatterAddMMSharded:
+    """custom_partitioning: the kernel shards along G under SPMD jit."""
+
+    def test_sharded_matches_local(self, cpu_mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rscotr_tpu.ops.pallas.scatter_mm import (scatter_add_mm,
+                                                      scatter_add_xla)
+        G, K, C, R = 16, 96, 32, 25
+        rng = np.random.default_rng(5)
+        upd = rng.normal(size=(G, K, C)).astype(np.float32)
+        idx = rng.integers(0, R, size=(G, K)).astype(np.int32)
+        sh = NamedSharding(cpu_mesh, P("data"))
+        upd_d = jax.device_put(jnp.asarray(upd), sh)
+        idx_d = jax.device_put(jnp.asarray(idx), sh)
+
+        f = jax.jit(lambda u, i: scatter_add_mm(
+            u, i, R, acc_dtype=jnp.float32, interpret=True))
+        out = f(upd_d, idx_d)
+        # stays sharded along G — no replication under SPMD
+        assert out.sharding.spec[0] == "data", out.sharding
+        ref = scatter_add_xla(jnp.asarray(upd), jnp.asarray(idx), R)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_msda_grad_sharded_matches_single_device(self, cpu_mesh):
+        """Full MSDA backward through the pallas_mm path with the batch
+        sharded over 8 devices == the unsharded XLA-scatter backward."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rscotr_tpu.ops.ms_deform_attn import _ms_deform_attn_xla
+
+        rng = np.random.default_rng(11)
+        B, H, D, Pn = 8, 2, 8, 4
+        shapes = ((6, 8), (3, 4))
+        L = len(shapes)
+        Nv = sum(h * w for h, w in shapes)
+        Q = 19
+        value = rng.normal(size=(B, Nv, H, D)).astype(np.float32)
+        loc = rng.uniform(-0.1, 1.1, size=(B, Q, H, L, Pn, 2)
+                          ).astype(np.float32)
+        aw = rng.uniform(size=(B, Q, H, L, Pn)).astype(np.float32)
+        aw = aw / aw.sum(axis=(-2, -1), keepdims=True)
+
+        def loss(v, l, a, bwd_impl):
+            return jnp.sum(
+                _ms_deform_attn_xla(v, shapes, l, a, bwd_impl) ** 2)
+
+        want = jax.grad(lambda v: loss(v, jnp.asarray(loc), jnp.asarray(aw),
+                                       "xla"))(jnp.asarray(value))
+
+        sh = NamedSharding(cpu_mesh, P("data"))
+        v_d = jax.device_put(jnp.asarray(value), sh)
+        l_d = jax.device_put(jnp.asarray(loc), sh)
+        a_d = jax.device_put(jnp.asarray(aw), sh)
+        got = jax.jit(jax.grad(
+            lambda v, l, a: loss(v, l, a, "pallas_mm_interpret")))(
+                v_d, l_d, a_d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
