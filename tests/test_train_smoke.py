@@ -152,6 +152,35 @@ class TestEndToEnd:
         cnt_bb = jax.tree.leaves(s["count"]["backbone"])[0]
         assert int(cnt_bb) == 6  # backbone touched every step
 
+    def test_cls_loss_decreases_on_fixed_batch(self, setup):
+        """Training-correctness regression: repeated steps on one fixed
+        batch must drive the loss down (grads, masking, optimizer and LR
+        plumbing all working together)."""
+        import dataclasses
+
+        model, params, step_cfg, cdn_cfg = setup
+        cfg = dataclasses.replace(step_cfg, cls_use_augments=False)
+        opt = build_optimizer(
+            dict(type="AdamW", lr=3e-3, weight_decay=0.0),
+            params["params"], lr_config=dict(policy="step", step=[10000]))
+        opt_state = opt.init(params["params"])
+        masks = task_param_masks(params["params"], cls_uses_encoder=False)
+        step = make_train_step(model, opt, "cls", cfg, masks["cls"],
+                               donate=False)
+        rng = np.random.default_rng(3)
+        batch = {
+            "img": jnp.asarray(rng.normal(size=(4, 32, 32, 3)),
+                               jnp.float32),
+            "gt_label": jnp.asarray(rng.integers(0, 7, 4), jnp.int32),
+        }
+        p, s = params, opt_state
+        losses = []
+        for i in range(12):
+            p, s, logs = step(p, s, batch, jax.random.key(0))
+            losses.append(float(logs["loss"]))
+        assert all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0] * 0.7, losses
+
     def test_val_and_infer_and_eval(self, setup):
         model, params, step_cfg, cdn_cfg = setup
         loaders = make_batches()
