@@ -142,6 +142,14 @@ def _quad_gather_bwd(dims, bwd_impl, gidx, d_g):
 
     from rscotr_tpu.ops.pallas.scatter_mm import scatter_add_mm
 
+    # NOTE(probed 2026-08): a hybrid that routed the LARGEST level
+    # (10000 rows) to XLA's scatter-add — suggested by a standalone
+    # microbenchmark (mm 25.7 vs xla 6.9 ms/layer at det bwd shapes) —
+    # made the REAL train step slower (det 438 -> 476 ms, seg 229 ->
+    # 245 ms). The standalone xla number was flattered by consuming only
+    # one output element; in-graph, the scatter also forces a f32 copy of
+    # the bf16 updates and extra layout moves. The one-hot MXU kernel
+    # stays the only backward path on every level.
     interpret = bwd_impl == "pallas_mm_interpret"
     acc_dtype = jnp.bfloat16 if qt_dtype == jnp.bfloat16 else jnp.float32
     base = (jnp.arange(B * Hn, dtype=jnp.int32) *
