@@ -152,6 +152,10 @@ def _quad_gather_bwd(dims, bwd_impl, gidx, d_g):
     # stays the only backward path on every level.
     interpret = bwd_impl == "pallas_mm_interpret"
     acc_dtype = jnp.bfloat16 if qt_dtype == jnp.bfloat16 else jnp.float32
+    # the kernel casts updates to acc_dtype in VMEM anyway; casting BEFORE
+    # the pallas_call halves the HBM->VMEM DMA (each update block is
+    # re-fetched once per output row-block) with identical numerics
+    d_g = d_g.astype(acc_dtype)
     base = (jnp.arange(B * Hn, dtype=jnp.int32) *
             num_value).reshape(B, Hn)[:, :, None, None]
     start = 0

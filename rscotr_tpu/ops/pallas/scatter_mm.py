@@ -48,12 +48,24 @@ def _kernel(idx_ref, u_ref, o_ref, *, nv_block: int, acc_dtype):
         o_ref[...] = jnp.zeros_like(o_ref)
 
     n = pl.program_id(1)
-    k_block = idx_ref.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nv_block, k_block), 0) + \
-        n * nv_block
-    onehot = (rows == idx_ref[...][None, :]).astype(acc_dtype)   # (nv, k)
-    o_ref[0] += jnp.dot(onehot, u_ref[0].astype(acc_dtype),
-                        preferred_element_type=jnp.float32)
+    idx = idx_ref[...]
+    lo = n * nv_block
+    # Deformable-attention scatter targets are spatially LOCAL (sampling
+    # points cluster around each query's reference point), and a k-block
+    # covers consecutive queries — so most (row-block, update-block) pairs
+    # contain zero hits. Skip the one-hot build + MXU matmul for those
+    # (exact: skipped blocks contribute nothing). Worst case (uniform
+    # targets) degrades to the dense kernel plus one VPU compare pass.
+    hit = jnp.any((idx >= lo) & (idx < lo + nv_block))
+
+    @pl.when(hit)
+    def _accum():
+        k_block = idx.shape[0]
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (nv_block, k_block), 0) + lo
+        onehot = (rows == idx[None, :]).astype(acc_dtype)   # (nv, k)
+        o_ref[0] += jnp.dot(onehot, u_ref[0].astype(acc_dtype),
+                            preferred_element_type=jnp.float32)
 
 
 def scatter_add_mm(updates: jnp.ndarray, idx: jnp.ndarray, num_rows: int,

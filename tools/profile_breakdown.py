@@ -30,7 +30,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--train", action="store_true",
+                   help="profile det/seg TRAIN-step stages instead of "
+                        "inference (model fwd / loss fwd / grad / update, "
+                        "plus the batched Hungarian LAP alone)")
     args = p.parse_args()
+    if args.train:
+        return train_breakdown(args)
 
     import numpy as np
 
@@ -133,6 +139,134 @@ def main():
     res["det_head_ms"] = round(res["det_full_ms"] - res["det_feat_ms"], 2)
     res["seg_head_ms"] = round(res["seg_full_ms"] - res["seg_feat_ms"], 2)
     res = {k: round(v, 2) for k, v in res.items()}
+    res["device"] = getattr(jax.devices()[0], "device_kind",
+                            str(jax.devices()[0]))
+    print(json.dumps(res))
+
+
+def train_breakdown(args):
+    """Stage split of the det/seg train steps at flagship shapes.
+
+    Times, per task: model forward only, full loss forward (incl. the
+    vmapped Hungarian matchings for det), value_and_grad (no update),
+    full step (grad + masked AdamW update), and — det only — the batched
+    7x(100 gt x 900 query) LAP solve alone. Differences attribute the
+    residual beyond the MSDA scatter backward."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from rscotr_tpu.apis import make_step_config
+    from rscotr_tpu.config import Config
+    from rscotr_tpu.data import load_data_cfg
+    from rscotr_tpu.engine import (build_optimizer, make_train_step,
+                                   task_param_masks)
+    from rscotr_tpu.engine.train_step import LOSS_FNS, parse_losses
+    from rscotr_tpu.models import build_model
+    from rscotr_tpu.ops.matcher import hungarian_batched
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(os.path.join(
+        root, "configs/multi/MTL_slvlcls_swin-t-p4-w7_1x1_"
+              "resisc_dior_potsdam.py"))
+    cfg = load_data_cfg(cfg, config_root=root)
+    model = build_model(cfg.model)
+    step_cfg = make_step_config(cfg)
+
+    nprng = np.random.default_rng(0)
+    jrng = jax.random.key(0)
+
+    def det_batch():
+        G = 100
+        S = 800
+        cx = nprng.uniform(0.2, 0.8, size=(1, G))
+        wh = nprng.uniform(0.05, 0.2, size=(1, G, 2))
+        boxes = np.stack([(cx - wh[..., 0] / 2) * S,
+                          (cx - wh[..., 1] / 2) * S,
+                          (cx + wh[..., 0] / 2) * S,
+                          (cx + wh[..., 1] / 2) * S], -1).astype(np.float32)
+        return {"img": jnp.asarray(nprng.normal(
+                    size=(1, S, S, 3)).astype(np.float32)),
+                "img_hw": jnp.asarray([[S, S]], jnp.int32),
+                "gt_bboxes": jnp.asarray(boxes),
+                "gt_labels": jnp.asarray(nprng.integers(
+                    0, 20, size=(1, G)).astype(np.int32)),
+                "gt_valid": jnp.asarray(np.arange(G)[None] < 10)}
+
+    def seg_batch():
+        return {"img": jnp.asarray(nprng.normal(
+                    size=(2, 512, 512, 3)).astype(np.float32)),
+                "img_hw": jnp.asarray([[512, 512]] * 2, jnp.int32),
+                "gt_semantic_seg": jnp.asarray(nprng.integers(
+                    0, 5, size=(2, 512, 512)).astype(np.int32))}
+
+    mk = {"det": det_batch, "seg": seg_batch}
+    params = model.init(jrng, cls_img=jnp.zeros((1, 224, 224, 3)),
+                        det_img=det_batch()["img"],
+                        det_img_hw=jnp.asarray([[800, 800]], jnp.int32),
+                        seg_img=jnp.zeros((1, 512, 512, 3)))
+    lr_cfg = dict(cfg.get("lr_config", {}) or {})
+    lr_cfg.setdefault("max_iters", 1000)
+    optimizer = build_optimizer(cfg.optimizer, params["params"],
+                                lr_config=lr_cfg)
+    opt_state = optimizer.init(params["params"])
+    masks = task_param_masks(params["params"], cls_uses_encoder=False)
+
+    def _sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf.ravel()[0])
+
+    def timeit(fn, batches):
+        for i in range(args.warmup):
+            out = fn(batches[i % len(batches)])
+        _sync(out)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = fn(batches[i])
+        _sync(out)
+        return round((time.perf_counter() - t0) / args.iters * 1e3, 2)
+
+    res = {}
+    for task in ("det", "seg"):
+        batches = [mk[task]() for _ in range(args.iters)]
+        loss_fn = LOSS_FNS[task]
+
+        fwd_model = {
+            "det": jax.jit(lambda p, b: model.apply(
+                p, b["img"], b["img_hw"], None, None, None,
+                deterministic=False, rngs={"dropout": jrng},
+                method=model.forward_det)),
+            "seg": jax.jit(lambda p, b: model.apply(
+                p, b["img"], deterministic=False, rngs={"dropout": jrng},
+                method=model.forward_seg)),
+        }[task]
+
+        @jax.jit
+        def fwd_loss(p, b):
+            return parse_losses(
+                loss_fn(model, p, b, jrng, step_cfg, train=True))[0]
+
+        grad_fn = jax.jit(jax.value_and_grad(
+            lambda p, b: parse_losses(
+                loss_fn(model, p, b, jrng, step_cfg, train=True))[0]))
+        step = make_train_step(model, optimizer, task, step_cfg,
+                               masks[task], donate=False)
+
+        res[f"{task}_model_fwd_ms"] = timeit(
+            lambda b: fwd_model(params, b), batches)
+        res[f"{task}_loss_fwd_ms"] = timeit(
+            lambda b: fwd_loss(params, b), batches)
+        res[f"{task}_grad_ms"] = timeit(
+            lambda b: grad_fn(params, b)[1], batches)
+        res[f"{task}_step_ms"] = timeit(
+            lambda b: step(params, opt_state, b, jrng)[2], batches)
+
+    # batched LAP alone: the 7 per-layer matchings of one det step
+    costs = [jnp.asarray(nprng.normal(size=(7, 100, 600)).astype(np.float32))
+             for _ in range(args.iters)]
+    res["det_lap7_ms"] = timeit(lambda c: hungarian_batched(c), costs)
+
     res["device"] = getattr(jax.devices()[0], "device_kind",
                             str(jax.devices()[0]))
     print(json.dumps(res))
