@@ -243,24 +243,31 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
 
     # ---- corner weights remapped to quad slots --------------------------
     # clamping can shift the start by one cell (e.g. x0=-1 -> xl=0), so
-    # corner (dy,dx) lands on slot (dy + y0-yl, dx + x0-xl); only corners
-    # whose slot is in {0,1} carry weight (others are invalid anyway).
+    # corner (dy,dx) lands on slot (dy + y0-yl, dx + x0-xl). A corner whose
+    # slot falls outside {0,1}x{0,1} is off-map and its validity factor is
+    # already zero (clip only shifts when the start is off-map on that
+    # axis), so routing through a 4-wide one_hot (out-of-range -> zero row)
+    # is exact. One-hot einsum instead of a 4-way python stack: the stack's
+    # autodiff transpose was a degenerate-layout split measured at 10.5
+    # ms/layer on v5e (trace 2026-08-17).
     aw = attention_weights.astype(jnp.float32)
     sy = y0i - yl
     sx = x0i - xl
-    wslot = [jnp.zeros_like(aw) for _ in range(4)]
-    for dy in (0, 1):
-        vy = (y0i + dy >= 0) & (y0i + dy < Hi)
-        wy = (fy if dy else (1.0 - fy)) * vy
-        for dx in (0, 1):
-            vx = (x0i + dx >= 0) & (x0i + dx < Wi)
-            wxy = wy * (fx if dx else (1.0 - fx)) * vx * aw
-            slot_y = dy + sy
-            slot_x = dx + sx
-            for s_ in range(4):
-                ty, tx = s_ // 2, s_ % 2
-                wslot[s_] = wslot[s_] + wxy * ((slot_y == ty) &
-                                               (slot_x == tx))
+    vy0 = ((y0i >= 0) & (y0i < Hi)).astype(jnp.float32)
+    vy1 = ((y0i + 1 >= 0) & (y0i + 1 < Hi)).astype(jnp.float32)
+    vx0 = ((x0i >= 0) & (x0i < Wi)).astype(jnp.float32)
+    vx1 = ((x0i + 1 >= 0) & (x0i + 1 < Wi)).astype(jnp.float32)
+    wy = jnp.stack([(1.0 - fy) * vy0, fy * vy1], -1)      # (B,Q,H,L,P,2)
+    wx = jnp.stack([(1.0 - fx) * vx0, fx * vx1], -1)
+    # corner axis m = 2*dy + dx
+    wxy = (wy[..., :, None] * wx[..., None, :]).reshape(
+        aw.shape + (4,)) * aw[..., None]                  # (B,Q,H,L,P,4)
+    dy_m = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    dx_m = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    slot = (2 * (sy[..., None] + dy_m) +
+            (sx[..., None] + dx_m))                       # (B,Q,H,L,P,4)
+    onehot = jax.nn.one_hot(slot, 4, dtype=jnp.float32)   # (...,4m,4s)
+    wslot = jnp.einsum("...ms,...m->...s", onehot, wxy)   # (B,Q,H,L,P,4)
 
     # ---- ONE gather per sampling point ----------------------------------
     base = (jnp.arange(B * Hn) * num_value).reshape(B, Hn)
@@ -269,20 +276,22 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
     KP = num_levels * num_points
     g = _quad_gather(qt, gidx,
                      (B, Hn, num_value, spatial_shapes, qt.dtype), bwd_impl)
-    g = g.reshape(B, Hn, num_query, KP, 4, D)
-    wt = jnp.stack(
-        [jnp.transpose(w.reshape(B, num_query, Hn, KP), (0, 2, 1, 3))
-         for w in wslot], axis=-1)               # (B, H, Q, KP, 4)
-    if compute_dtype == jnp.bfloat16:
-        # bf16 weighted sum with f32 accumulation: avoids materializing the
-        # gathered quads in f32 (2x HBM traffic) and feeds the MXU bf16
-        # inputs. Measured (v5e, det-encoder shapes, 2026-08): 57 -> 22
-        # ms/layer for the isolated sampling core; max rel diff 0.4%
-        # (bf16 rounding, consistent with the bf16 compute path).
-        out = jnp.einsum("bhqkc,bhqkcd->bhqd", wt.astype(compute_dtype), g,
-                         preferred_element_type=jnp.float32)
-    else:
-        out = jnp.einsum("bhqkc,bhqkcd->bhqd", wt, g.astype(jnp.float32))
+    # keep g in its native (rows, 4D=128-lane) layout: reshaping it to
+    # (..., 4, D) forces a T(8,128)->T(4,128) relayout of the whole 437
+    # MB/layer tensor in BOTH fwd and bwd (measured 6.9 ms/layer each way,
+    # trace 2026-08-17). Instead slice the 4 corner-slot lane groups
+    # statically and multiply-reduce each in place, f32 accumulation.
+    g = g.reshape(B, Hn, num_query, KP, 4 * D)
+    wt = jnp.transpose(wslot.reshape(B, num_query, Hn, KP, 4),
+                       (0, 2, 1, 3, 4))                   # (B,H,Q,KP,4)
+    wt = wt.astype(compute_dtype)
+    gc = g if compute_dtype == g.dtype else g.astype(compute_dtype)
+    out = None
+    for c in range(4):
+        g_c = jax.lax.slice_in_dim(gc, c * D, (c + 1) * D, axis=-1)
+        s_c = jnp.sum(g_c * wt[..., c:c + 1], axis=3,
+                      dtype=jnp.float32)                  # (B,H,Q,D)
+        out = s_c if out is None else out + s_c
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(
         B, num_query, num_heads * head_dim).astype(compute_dtype)
 
