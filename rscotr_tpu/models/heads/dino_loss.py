@@ -70,7 +70,11 @@ def _match_single(cls_logits, bbox_pred, gt_bboxes_xyxy, gt_labels, gt_valid,
     cost = cost + iou_cost(pred_xyxy, gt_bboxes_xyxy,
                            weight=cfg.cost_iou_weight)
     cost = jnp.where(gt_valid[:, None], cost, PAD_COST)
-    return hungarian(cost)
+    # padded rows are skipped inside the solver (their col4row stays -1 and
+    # _targets_single drops them); constant-cost pad rows cannot change the
+    # valid rows' optimum, so this is exact and saves the pad rows'
+    # augmenting-path iterations (90 of 100 rows at flagship MAX_GT)
+    return hungarian(cost, gt_valid)
 
 
 def _targets_single(col4row, gt_bboxes_xyxy, gt_labels, gt_valid, img_hw,

@@ -96,7 +96,13 @@ def softmax_cross_entropy(logits: jnp.ndarray,
     valid = (labels != ignore_index) & (labels >= 0) & (labels < C)
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: at seg shapes
+    # ((2,512,512,100) f32) the row gather ran at 1.4 GiB/s (8.4 ms/step,
+    # trace 2026-08-17) and its VJP is a scatter; the compare-and-reduce
+    # form streams at HBM speed in both directions with identical values.
+    onehot = (safe_labels[..., None] ==
+              jnp.arange(C, dtype=safe_labels.dtype)).astype(logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     w = valid.astype(logits.dtype)
     if class_weight is not None:
         w = w * class_weight[safe_labels]

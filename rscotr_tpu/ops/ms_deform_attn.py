@@ -108,7 +108,12 @@ def _quad_gather(qt, gidx, dims, bwd_impl):
     is static so every update's target range is known at trace time.
     """
     del dims, bwd_impl
-    return jnp.take(qt, gidx.reshape(-1), axis=0)
+    # indices are in-bounds by construction (corner starts are clamped to
+    # the map and offset by static level starts), so skip jnp.take's
+    # default OOB fill: mode='fill' appended a select_n pass re-streaming
+    # the full gathered tensor (1.37 ms/layer at det-encoder shapes,
+    # hlo_stats trace 2026-08-17).
+    return qt.at[gidx.reshape(-1)].get(mode="promise_in_bounds")
 
 
 def _quad_gather_fwd(qt, gidx, dims, bwd_impl):
@@ -175,6 +180,63 @@ def _quad_gather_bwd(dims, bwd_impl, gidx, d_g):
 
 
 _quad_gather.defvjp(_quad_gather_fwd, _quad_gather_bwd)
+
+
+@jax.custom_vjp
+def _corner_weighted_sum(g, wt):
+    """out[b,h,q,d] = sum_kp sum_c g[b,h,q,kp,c*D+d] * wt[b,h,q,kp,c].
+
+    ``g``: (B, H, Q, KP, 4*D) gathered quads in their native 128-lane
+    layout; ``wt``: (B, H, Q, KP, 4) per-corner-slot weights. The forward
+    reads ``g`` exactly ONCE: the slot weights are repeated onto the four
+    D-lane groups inside the multiply-reduce fusion (jnp.repeat lowers to
+    a fusible broadcast of the small tensor), the KP axis is reduced with
+    f32 accumulation into a (B, H, Q, 4D) partial, and the four lane
+    groups of that SMALL tensor are summed with static slices. An earlier
+    form sliced the four 32-lane corner groups out of ``g`` and reduced
+    each separately — four passes over the 437 MB/layer tensor at 1/4
+    lane utilization, 154 GiB/s, 3.0 ms/layer vs the ~0.7 ms single-pass
+    floor (hlo_stats trace 2026-08-17). The backward is hand-written
+    because the autodiff transpose materialized four (..., KP, 32)-
+    minormost tensors — 32 of 128 lanes used, 4x lane-padding waste — and
+    re-assembled them with a pad+add pass (105-148 GiB/s, ~6 ms/layer).
+    Here d_g is constructed directly in the 128-lane layout from two
+    broadcasts (lane k of slot c reads wt[..., c] and d_out[..., k mod
+    D]), one streaming write."""
+    B, Hn, Q, KP, C4 = g.shape
+    D = C4 // 4
+    wt128 = jnp.repeat(wt, D, axis=-1)                    # (B,H,Q,KP,4D)
+    tmp = jnp.sum(g * wt128, axis=3, dtype=jnp.float32)   # (B,H,Q,4D)
+    out = None
+    for c in range(4):
+        t_c = jax.lax.slice_in_dim(tmp, c * D, (c + 1) * D, axis=-1)
+        out = t_c if out is None else out + t_c
+    return out
+
+
+def _corner_weighted_sum_fwd(g, wt):
+    return _corner_weighted_sum(g, wt), (g, wt)
+
+
+def _corner_weighted_sum_bwd(res, d_out):
+    g, wt = res
+    B, Hn, Q, KP, C4 = g.shape
+    D = C4 // 4
+    wt_rep = jnp.broadcast_to(wt[..., None], (B, Hn, Q, KP, 4, D))
+    do_rep = jnp.broadcast_to(d_out[:, :, :, None, None, :],
+                              (B, Hn, Q, KP, 4, D))
+    d_g = (wt_rep * do_rep).reshape(B, Hn, Q, KP, C4).astype(g.dtype)
+    parts = []
+    for c in range(4):
+        g_c = jax.lax.slice_in_dim(g, c * D, (c + 1) * D, axis=-1)
+        parts.append(jnp.sum(
+            g_c * d_out[:, :, :, None, :], axis=-1, dtype=jnp.float32))
+    d_wt = jnp.stack(parts, axis=-1).astype(wt.dtype)
+    return d_g, d_wt
+
+
+_corner_weighted_sum.defvjp(_corner_weighted_sum_fwd,
+                            _corner_weighted_sum_bwd)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4))
@@ -286,12 +348,7 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                        (0, 2, 1, 3, 4))                   # (B,H,Q,KP,4)
     wt = wt.astype(compute_dtype)
     gc = g if compute_dtype == g.dtype else g.astype(compute_dtype)
-    out = None
-    for c in range(4):
-        g_c = jax.lax.slice_in_dim(gc, c * D, (c + 1) * D, axis=-1)
-        s_c = jnp.sum(g_c * wt[..., c:c + 1], axis=3,
-                      dtype=jnp.float32)                  # (B,H,Q,D)
-        out = s_c if out is None else out + s_c
+    out = _corner_weighted_sum(gc, wt)                    # (B,H,Q,D) f32
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(
         B, num_query, num_heads * head_dim).astype(compute_dtype)
 

@@ -162,6 +162,45 @@ class TestHungarian:
                 costs[b][np.arange(6), outs[b]].sum(),
                 costs[b][r, c].sum(), atol=1e-4)
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_row_valid_skips_pad_rows(self, seed):
+        """Masked solve == scipy on the valid sub-problem; pad rows -> -1."""
+        from scipy.optimize import linear_sum_assignment
+        rng = np.random.default_rng(100 + seed)
+        nr, nc = 10, 25
+        n_valid = int(rng.integers(0, nr + 1))
+        cost = rng.normal(size=(nr, nc)).astype(np.float32)
+        # pad rows get a constant cost, like dino_loss's PAD_COST rows
+        cost[n_valid:] = 1e6
+        valid = np.arange(nr) < n_valid
+        col4row = np.asarray(
+            ops.hungarian(jnp.asarray(cost), jnp.asarray(valid)))
+        assert (col4row[n_valid:] == -1).all()
+        if n_valid:
+            r, c = linear_sum_assignment(cost[:n_valid])
+            assigned = col4row[:n_valid]
+            assert len(set(assigned.tolist())) == n_valid
+            np.testing.assert_allclose(
+                cost[np.arange(n_valid), assigned].sum(),
+                cost[r, c].sum(), atol=1e-4)
+
+    def test_row_valid_interleaved(self):
+        """Validity mask need not be a prefix."""
+        from scipy.optimize import linear_sum_assignment
+        rng = np.random.default_rng(3)
+        cost = rng.normal(size=(8, 16)).astype(np.float32)
+        valid = np.array([1, 0, 1, 1, 0, 0, 1, 0], bool)
+        col4row = np.asarray(
+            ops.hungarian(jnp.asarray(cost), jnp.asarray(valid)))
+        assert (col4row[~valid] == -1).all()
+        sub = cost[valid]
+        r, c = linear_sum_assignment(sub)
+        assigned = col4row[valid]
+        assert len(set(assigned.tolist())) == int(valid.sum())
+        np.testing.assert_allclose(
+            cost[valid][np.arange(valid.sum()), assigned].sum(),
+            sub[r, c].sum(), atol=1e-4)
+
 
 class TestLosses:
     def test_focal_loss_closed_form(self):
