@@ -226,6 +226,15 @@ def _corner_weighted_sum_bwd(res, d_out):
     do_rep = jnp.broadcast_to(d_out[:, :, :, None, None, :],
                               (B, Hn, Q, KP, 4, D))
     d_g = (wt_rep * do_rep).reshape(B, Hn, Q, KP, C4).astype(g.dtype)
+    # NOTE(probed 2026-08-17): a one-pass d_wt (g * lane-tiled d_out,
+    # producer-fused reshape to (..., 4, D), reduce over D) won the
+    # STANDALONE probe 31x (6.4 vs 200 ms at 8 chained det-encoder
+    # layers, tools/probe_dwt.py) but LOST in the real train graphs
+    # (det grad 172.9 -> 180.2 ms, seg step 138.0 -> 144.6): in-graph,
+    # XLA fuses the 4 static slices below with the d_g pass above so g
+    # streams once for both outputs, and the reshape-reduce form broke
+    # that shared-read fusion. Keep the slice form; trust full-step
+    # measurements over standalone probes (PERF.md hygiene note).
     parts = []
     for c in range(4):
         g_c = jax.lax.slice_in_dim(g, c * D, (c + 1) * D, axis=-1)

@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from rscotr_tpu.utils import honor_jax_platforms_env
 honor_jax_platforms_env()
 
