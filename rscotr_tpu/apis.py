@@ -194,7 +194,9 @@ def make_eval_fn(cfg, model, max_per_img: int = 300,
                         if v.task != "det"}
     loaders = build_dataloaders(val_datasets, cfg.data, train=False)
     infer = make_infer_steps(model, max_per_img=max_per_img,
-                             img_norm=derive_img_norm(cfg))
+                             img_norm=derive_img_norm(cfg),
+                             seg_test_cfg=(cfg.model.get("test_cfg", {})
+                                           or {}).get("seg"))
     eval_kwargs = {t: dict(cfg.get("evaluation", {}).get(t, {}))
                    for t in ("cls", "det", "seg")}
 

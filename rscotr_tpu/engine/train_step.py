@@ -235,7 +235,27 @@ def make_val_step(model, task: str, cfg: TrainStepConfig):
 # inference steps (reference simple_test_{task})
 # ---------------------------------------------------------------------------
 
-def make_infer_steps(model, max_per_img: int = 300, img_norm=None):
+def _slide_origins(size: int, crop: int, stride: int):
+    """mmseg slide_inference window origins (static python ints)."""
+    n = max(size - crop + stride - 1, 0) // stride + 1
+    return sorted({min(i * stride, size - crop) for i in range(n)})
+
+
+def make_infer_steps(model, max_per_img: int = 300, img_norm=None,
+                     seg_test_cfg=None):
+    """Per-task jitted inference steps.
+
+    ``seg_test_cfg``: the config's ``model.test_cfg.seg`` dict. ``mode``
+    'whole' (default) resizes the logits to the full image;
+    ``mode='slide'`` reproduces mmseg ``EncoderDecoder.slide_inference``
+    (the reference's ``RSCoTrSeg`` inherits both modes from mmseg —
+    /root/reference/models/seg/rscotr_seg.py:9-25): overlapping
+    ``crop_size`` windows at ``stride``, per-window logits accumulated
+    into a canvas and count-normalized before the argmax. TPU-first: the
+    window origins are STATIC (derived from the static image shape), the
+    windows run through ONE compiled body via ``lax.scan`` (dynamic_slice
+    in, dynamic_update_slice accumulate out), so arbitrarily many windows
+    cost one trace."""
     from rscotr_tpu.models.heads.dino_loss import dino_get_bboxes
 
     @jax.jit
@@ -255,15 +275,63 @@ def make_infer_steps(model, max_per_img: int = 300, img_norm=None):
                                scale_factor, max_per_img=max_per_img,
                                rescale=True)
 
-    @jax.jit
-    def infer_seg(params, img):
-        img = device_normalize(img, img_norm)
-        logits = model.apply(params, img, deterministic=True,
-                             method=model.forward_seg)
-        logits = jax.image.resize(
-            logits, (img.shape[0], img.shape[1], img.shape[2],
-                     logits.shape[-1]), method="linear")
-        probs = jax.nn.softmax(logits, axis=-1)
-        return jnp.argmax(probs, axis=-1)
+    stc = dict(seg_test_cfg or {})
+    if stc.get("mode", "whole") == "slide":
+        hc, wc = (int(v) for v in stc["crop_size"])
+        hs, ws = (int(v) for v in stc["stride"])
+
+        @jax.jit
+        def infer_seg(params, img):
+            img = device_normalize(img, img_norm)
+            B, H, W, Cin = img.shape
+            if H < hc or W < wc:
+                raise ValueError(
+                    f"slide inference needs image >= crop_size; got "
+                    f"({H},{W}) < ({hc},{wc}) — pad in the test pipeline")
+            origins = jnp.asarray(
+                [(y, x) for y in _slide_origins(H, hc, hs)
+                 for x in _slide_origins(W, wc, ws)], jnp.int32)
+
+            C = jax.eval_shape(
+                lambda p: model.apply(
+                    p, jnp.zeros((B, hc, wc, Cin), jnp.float32),
+                    deterministic=True, method=model.forward_seg),
+                params).shape[-1]
+
+            def body(carry, origin):
+                pred, cnt = carry
+                y, x = origin[0], origin[1]
+                crop = jax.lax.dynamic_slice(
+                    img, (0, y, x, 0), (B, hc, wc, Cin))
+                logits = model.apply(params, crop, deterministic=True,
+                                     method=model.forward_seg)
+                logits = jax.image.resize(
+                    logits, (B, hc, wc, logits.shape[-1]),
+                    method="linear").astype(jnp.float32)
+                patch = jax.lax.dynamic_slice(
+                    pred, (0, y, x, 0), (B, hc, wc, pred.shape[-1]))
+                pred = jax.lax.dynamic_update_slice(
+                    pred, patch + logits, (0, y, x, 0))
+                cpatch = jax.lax.dynamic_slice(cnt, (y, x), (hc, wc))
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt, cpatch + 1.0, (y, x))
+                return (pred, cnt), None
+
+            pred0 = jnp.zeros((B, H, W, int(C)), jnp.float32)
+            cnt0 = jnp.zeros((H, W), jnp.float32)
+            (pred, cnt), _ = jax.lax.scan(body, (pred0, cnt0), origins)
+            pred = pred / cnt[None, :, :, None]
+            return jnp.argmax(pred, axis=-1)
+    else:
+        @jax.jit
+        def infer_seg(params, img):
+            img = device_normalize(img, img_norm)
+            logits = model.apply(params, img, deterministic=True,
+                                 method=model.forward_seg)
+            logits = jax.image.resize(
+                logits, (img.shape[0], img.shape[1], img.shape[2],
+                         logits.shape[-1]), method="linear")
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.argmax(probs, axis=-1)
 
     return {"cls": infer_cls, "det": infer_det, "seg": infer_seg}

@@ -220,3 +220,55 @@ class TestEndToEnd:
         x0 = jax.tree.leaves(params)[0]
         x1 = jax.tree.leaves(restored["params"])[0]
         np.testing.assert_allclose(np.asarray(x0), np.asarray(x1))
+
+
+class TestSlideInference:
+    """mmseg slide_inference equivalence (the reference's RSCoTrSeg
+    inherits whole/slide from mmseg EncoderDecoder —
+    /root/reference/models/seg/rscotr_seg.py:9-25)."""
+
+    def test_slide_single_window_equals_whole(self, setup):
+        model, params, _, _ = setup
+        img = jax.random.normal(jax.random.key(3), (2, 64, 64, 3))
+        whole = make_infer_steps(model)["seg"]
+        slide = make_infer_steps(
+            model, seg_test_cfg=dict(mode="slide", crop_size=(64, 64),
+                                     stride=(64, 64)))["seg"]
+        np.testing.assert_array_equal(np.asarray(whole(params, img)),
+                                      np.asarray(slide(params, img)))
+
+    def test_slide_multiwindow_matches_numpy_accumulation(self, setup):
+        model, params, _, _ = setup
+        B, H, W, hc, hs = 1, 96, 96, 64, 32
+        img = jax.random.normal(jax.random.key(4), (B, H, W, 3))
+        slide = make_infer_steps(
+            model, seg_test_cfg=dict(mode="slide", crop_size=(hc, hc),
+                                     stride=(hs, hs)))["seg"]
+        pred = np.asarray(slide(params, img))
+
+        # numpy oracle: same window grid, per-crop jitted forward + resize,
+        # f32 canvas accumulation, count-normalize, argmax
+        from rscotr_tpu.engine.train_step import _slide_origins
+
+        @jax.jit
+        def crop_logits(p, crop):
+            lg = model.apply(p, crop, deterministic=True,
+                             method=model.forward_seg)
+            return jax.image.resize(
+                lg, (crop.shape[0], hc, hc, lg.shape[-1]), method="linear")
+
+        ys = _slide_origins(H, hc, hs)
+        xs = _slide_origins(W, hc, hs)
+        assert ys == [0, 32] and xs == [0, 32]
+        canvas = None
+        cnt = np.zeros((H, W, 1), np.float32)
+        for y in ys:
+            for x in xs:
+                lg = np.asarray(crop_logits(
+                    params, img[:, y:y + hc, x:x + hc]), np.float32)
+                if canvas is None:
+                    canvas = np.zeros((B, H, W, lg.shape[-1]), np.float32)
+                canvas[:, y:y + hc, x:x + hc] += lg
+                cnt[y:y + hc, x:x + hc] += 1.0
+        oracle = np.argmax(canvas / cnt, axis=-1)
+        assert (pred == oracle).mean() > 0.995

@@ -84,8 +84,11 @@ def main(argv=None):
 
     model = build_model(cfg.model)
     params = load_checkpoint(args.checkpoint)["params"]
-    infer = make_infer_steps(model, max_per_img=(cfg.model.get(
-        "test_cfg", {}) or {}).get("det", {}).get("max_per_img", 300))
+    infer = make_infer_steps(
+        model,
+        max_per_img=(cfg.model.get("test_cfg", {}) or {}).get(
+            "det", {}).get("max_per_img", 300),
+        seg_test_cfg=(cfg.model.get("test_cfg", {}) or {}).get("seg"))
 
     raw = np.asarray(Image.open(args.img).convert("RGB"), np.float32)
     logger.info("image %s: %s", args.img, raw.shape)

@@ -79,7 +79,9 @@ def main(argv=None):
             "det", {}).get("max_per_img", 300)
         from rscotr_tpu.apis import derive_img_norm
         infer = make_infer_steps(model, max_per_img=max_per_img,
-                                 img_norm=derive_img_norm(cfg))
+                                 img_norm=derive_img_norm(cfg),
+                                 seg_test_cfg=(cfg.model.get("test_cfg", {})
+                                               or {}).get("seg"))
         results = multi_process_test(infer, params, loaders,
                                      max_batches=args.max_batches)
         if args.out:
