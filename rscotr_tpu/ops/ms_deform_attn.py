@@ -106,6 +106,20 @@ def _quad_gather(qt, gidx, dims, bwd_impl):
     level's updates as one-hot MXU matmuls with f32 accumulation
     (ops/pallas/scatter_mm.py), exploiting that the level axis of ``gidx``
     is static so every update's target range is known at trace time.
+
+    NOTE(probed 2026-08-17): fusing this gather with the corner weighted
+    sum into ONE custom_vjp — so the backward never materializes
+    d_g = wt (x) d_out in HBM and instead builds each level's scatter
+    updates directly from the small (wt, d_out) tensors via lane
+    broadcasts (jnp.repeat/jnp.tile, Q padded so the scatter k-blocks
+    divide) — LOST in the real train graphs despite equal-looking HBM
+    traffic on paper: det train 183.4 -> 195.9 ms, seg 158.3 -> 171.4
+    (tools/benchmark.py, same day, warm). XLA already overlaps the d_g
+    elementwise write with the d_wt read of the saved gathered tensor,
+    and the per-level repeat/tile constructions defeated that overlap.
+    Keep the two-unit split (this gather + _corner_weighted_sum below);
+    grad parity vs torch autograd is pinned by
+    tests/test_ops.py::test_grad_vs_torch_autograd either way.
     """
     del dims, bwd_impl
     # indices are in-bounds by construction (corner starts are clamped to

@@ -124,6 +124,50 @@ class TestMsDeformAttn:
                                        atol=1e-4, rtol=1e-4)
         assert float(jnp.abs(g_xla[0]).sum()) > 0
 
+    def test_grad_vs_torch_autograd(self):
+        """The hand-written VJP (fused gather + corner-weighted-sum +
+        per-level scatter) must match torch autograd through the
+        F.grid_sample formulation for value/location/weight gradients."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        value, shapes, loc, attn = self._rand_inputs(seed=5)
+        B, nv, heads, dim = value.shape
+        _, Q, _, levels, P, _ = loc.shape
+
+        def f(v, l, a):
+            out = ops.ms_deform_attn(v, shapes, l, a, impl="xla")
+            return jnp.sum(out * jnp.sin(out))
+
+        g_jax = jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+
+        v = torch.from_numpy(value).requires_grad_(True)
+        sl = torch.from_numpy(loc).requires_grad_(True)
+        aw = torch.from_numpy(attn).requires_grad_(True)
+        split = [h * w for h, w in shapes]
+        v_list = v.split(split, dim=1)
+        grids = 2 * sl - 1
+        outs = []
+        for lvl, (H, W) in enumerate(shapes):
+            v_l = v_list[lvl].flatten(2).transpose(1, 2).reshape(
+                B * heads, dim, H, W)
+            g_l = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+            outs.append(F.grid_sample(v_l, g_l, mode="bilinear",
+                                      padding_mode="zeros",
+                                      align_corners=False))
+        aw_t = aw.transpose(1, 2).reshape(B * heads, Q, levels * P)
+        sampled = torch.stack(
+            [o.view(B * heads, dim, Q, P) for o in outs], dim=-2).flatten(-2)
+        res = (sampled * aw_t[:, None]).sum(-1)
+        res = res.view(B, heads, dim, Q).permute(0, 3, 1, 2).reshape(
+            B, Q, heads * dim)
+        (res * torch.sin(res)).sum().backward()
+
+        for got, want in zip(g_jax, (v.grad, sl.grad, aw.grad)):
+            np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                       atol=2e-4, rtol=2e-4)
+
 
 class TestHungarian:
     @pytest.mark.parametrize("seed", range(5))
