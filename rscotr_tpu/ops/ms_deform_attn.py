@@ -120,6 +120,27 @@ def _quad_gather(qt, gidx, dims, bwd_impl):
     Keep the two-unit split (this gather + _corner_weighted_sum below);
     grad parity vs torch autograd is pinned by
     tests/test_ops.py::test_grad_vs_torch_autograd either way.
+
+    NOTE(probed 2026-08-17/18, both rejected): the op-level trace shows
+    6 x 1.4 ms/layer relayout copies of the gathered tensor
+    ({4,3,2,1,0} -> Q-minormost) feeding the KP-reduce. Two attempts to
+    remove them LOST end-to-end (tools/benchmark.py, same-day warm
+    baselines det train 183.4 / infer 57.4 ms):
+    (a) QUERY-MAJOR order — (B, Q, H, ...) throughout so the final
+        (B, Q, H*D) reshape is free and no output transpose exists; the
+        backward transposed only the small wt/d_out/idx tensors and
+        emitted scatter updates directly in (B*H)-group order. XLA still
+        chose a Q-minormost layout for the reduce operand (the copy
+        stayed), and the index/coordinate math materialized ~0.7 ms
+        physical reshapes per component ((Q,H,L,P) T(4,128) tiles ->
+        flat T(1,128)) that the head-major transpose had fused away:
+        det infer 57.4 -> 70.9, train 183.4 -> 208.7 ms.
+    (b) Query-major + the KP-reduce unrolled into a static slice-add
+        tree (hoping a pure elementwise fusion would drop the reduce's
+        layout preference): det infer 89.8, train 232.4 ms — far worse.
+    The reduce's Q-minor operand preference is an XLA:TPU lowering
+    choice this formulation cannot sidestep; the head-major form pays
+    one 1.4 ms/layer copy and everything else stays fused.
     """
     del dims, bwd_impl
     # indices are in-bounds by construction (corner starts are clamped to
