@@ -224,3 +224,39 @@ class TestScatterAddMMSharded:
                 v_d, l_d, a_d)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestMsdaWsKernels:
+    """Interpret-mode parity for the PROBED-AND-REJECTED corner-weighted-
+    sum kernels (ops/pallas/msda_ws.py — kept as measured evidence; the
+    production path stays XLA, see the module docstring)."""
+
+    @pytest.mark.parametrize("shape", [(3, 70, 16, 128), (2, 333, 8, 64)])
+    def test_fwd_bwd_match_reference(self, shape):
+        from rscotr_tpu.ops.pallas.msda_ws import ws_bwd, ws_fwd
+
+        G, Q, KP, C4 = shape
+        D = C4 // 4
+        rng = np.random.default_rng(0)
+        g = rng.normal(size=(G, Q, KP, C4)).astype(np.float32)
+        wt = rng.normal(size=(G, Q, KP, 4)).astype(np.float32)
+        do = rng.normal(size=(G, Q, D)).astype(np.float32)
+        wt_cm = np.transpose(wt, (0, 1, 3, 2)).reshape(G, Q, 4 * KP)
+
+        w128 = np.repeat(wt, D, axis=-1)
+        tmp = (g * w128).sum(2)
+        ref = sum(tmp[..., c * D:(c + 1) * D] for c in range(4))
+        out = ws_fwd(jnp.asarray(g), jnp.asarray(wt_cm), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   rtol=1e-5, atol=1e-5)
+
+        dg, dwt = ws_bwd(jnp.asarray(g), jnp.asarray(wt_cm),
+                         jnp.asarray(do), interpret=True)
+        dg_ref = w128 * np.tile(do[:, :, None, :], (1, 1, KP, 4))
+        dwt_ref = np.transpose(np.stack(
+            [(g[..., c * D:(c + 1) * D] * do[:, :, None, :]).sum(-1)
+             for c in range(4)], -1), (0, 1, 3, 2)).reshape(G, Q, 4 * KP)
+        np.testing.assert_allclose(np.asarray(dg), dg_ref,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dwt), dwt_ref,
+                                   rtol=1e-5, atol=1e-5)
