@@ -17,6 +17,11 @@ measured async dispatch, not compute. This harness therefore:
 * feeds a DIFFERENT input batch to every iteration;
 * synchronizes by a device->host VALUE READ of the last output, which
   orders behind every queued launch (in-order stream execution);
+* times the steps inside ONE jitted ``lax.scan`` whose carry reduces
+  every output leaf (device throughput, host dispatch amortized — on
+  this 1-core host each dispatch costs 4-30 ms through the tunnel and
+  otherwise masks device time); the host-inclusive per-call numbers are
+  reported alongside as ``*_dispatch_ms``;
 * reports analytic FLOPs from ``jitted.lower(...).compile()
   .cost_analysis()`` and the resulting MFU against the chip's peak
   (v5e bf16 ~197 TFLOP/s) — if MFU looks impossible, the throughput
@@ -142,16 +147,58 @@ def main():
         for t in ("cls", "det", "seg"):
             _sync(compiled[t](params, *variants[t][0]))
 
-    # per-task timing: queue ITERS distinct-input calls, value-read the
-    # last output (in-order stream => syncs the whole queue)
-    task_ms = {}
+    # ---- headline timing: ITERS distinct-input steps inside ONE jitted
+    # lax.scan, every output leaf reduced into the carried accumulator
+    # (nothing can be DCE'd), value-read sync at the end. This amortizes
+    # the per-call host dispatch, which on this 1-CPU-core host through
+    # the axon tunnel costs 4-30 ms/call and otherwise masks device time
+    # (measured 2026-08-18: cls train wall 49 ms vs 20.5 ms device) —
+    # production serving keeps the queue deep, so device throughput is
+    # the honest per-chip number. The per-call loop is still reported as
+    # *_dispatch_ms.
+    def make_scanned(fn):
+        @jax.jit
+        def run(p, *stacked):
+            def body(acc, xs):
+                out = fn(p, *xs)
+                s = sum(jnp.sum(leaf.astype(jnp.float32))
+                        for leaf in jax.tree.leaves(out))
+                return acc + s, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.), stacked)
+            return acc
+        return run
+
+    N_OUTER = 3
+    task_ms, dispatch_ms = {}, {}
     for t in ("cls", "det", "seg"):
+        # per-dispatch (host-inclusive) timing — secondary signal
         t0 = time.perf_counter()
         out = None
         for i in range(ITERS):
             out = compiled[t](params, *variants[t][i])
         _sync(out)
-        task_ms[t] = (time.perf_counter() - t0) / ITERS * 1e3
+        dispatch_ms[t] = (time.perf_counter() - t0) / ITERS * 1e3
+
+        run = make_scanned(infer[t])
+        # N_OUTER distinct pre-built stacks so no outer call repeats
+        stacks = []
+        for j in range(N_OUTER):
+            stacks.append(tuple(
+                jnp.stack([variants[t][i][k] +
+                           (np.float32(j) * 1e-3
+                            if variants[t][i][k].dtype == jnp.float32
+                            and variants[t][i][k].ndim > 2 else 0)
+                           for i in range(ITERS)])
+                for k in range(len(variants[t][0]))))
+        for s in stacks:
+            for a in s:
+                _sync(a)
+        _sync(run(params, *stacks[0]))          # compile outside timing
+        t0 = time.perf_counter()
+        for s in stacks:
+            acc = run(params, *s)
+        _sync(acc)
+        task_ms[t] = (time.perf_counter() - t0) / (N_OUTER * ITERS) * 1e3
 
     unit_s = sum(task_ms.values()) / 1e3
     imgs_per_unit = CLS_BS + DET_BS + SEG_BS
@@ -172,6 +219,9 @@ def main():
         "cls_ms": round(task_ms["cls"], 2),
         "det_ms": round(task_ms["det"], 2),
         "seg_ms": round(task_ms["seg"], 2),
+        "cls_dispatch_ms": round(dispatch_ms["cls"], 2),
+        "det_dispatch_ms": round(dispatch_ms["det"], 2),
+        "seg_dispatch_ms": round(dispatch_ms["seg"], 2),
         "device": getattr(dev, "device_kind", str(dev)),
         "baseline_note": "A100 denominator is an estimate from public "
                          "figures (reference publishes no throughput)",

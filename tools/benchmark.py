@@ -62,6 +62,13 @@ def main(argv=None):
                     help="also time the jitted train step (fwd+bwd+update)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--scan", action="store_true",
+                    help="time the steps inside ONE jitted lax.scan "
+                         "(device throughput; the per-call host dispatch "
+                         "— 4-30 ms through this host's axon tunnel — is "
+                         "amortized). Train scans carry (params, "
+                         "opt_state) like a real sequential train loop. "
+                         "Numbers are NOT comparable with non-scan runs.")
     ap.add_argument("--cls-bs", type=int)
     ap.add_argument("--cls-size", type=int)
     ap.add_argument("--det-bs", type=int)
@@ -196,12 +203,45 @@ def main(argv=None):
         "det": lambda b: (b["img"], b["img_hw"], b["scale_factor"]),
         "seg": lambda b: (b["img"],),
     }
+    def scan_stacks(batches, n=2):
+        """n distinct stacked-batch pytrees (iters on axis 0)."""
+        out = []
+        for j in range(n):
+            out.append(jax.tree.map(
+                lambda *xs: jnp.stack([
+                    x + np.float32(j) * 1e-3
+                    if x.dtype == jnp.float32 and x.ndim > 2 else x
+                    for x in xs]), *batches))
+        return out
+
+    def scan_time(run, stacks, *state):
+        sync(run(*state, stacks[0]))            # compile + warm
+        t0 = time.perf_counter()
+        for st in stacks:
+            acc = run(*state, st)
+        sync(acc)
+        return (time.perf_counter() - t0) / (len(stacks) * args.iters) * 1e3
+
     for t in tasks:
         batches = [mk_batch[t](i) for i in range(args.iters)]
         f = infer[t]
         compiled = f.lower(params, *infer_args[t](batches[0])).compile()
         fl = _flops_of(compiled)
-        ms, _ = timeit(lambda p, b: f(p, *infer_args[t](b)), batches, params)
+        if args.scan:
+            take = infer_args[t]
+
+            @jax.jit
+            def srun(p, st, f=f, take=take):
+                def body(acc, b):
+                    out = f(p, *take(b))
+                    return acc + sum(jnp.sum(leaf.astype(jnp.float32))
+                                     for leaf in jax.tree.leaves(out)), None
+                return jax.lax.scan(body, jnp.float32(0.), st)[0]
+
+            ms = scan_time(srun, scan_stacks(batches), params)
+        else:
+            ms, _ = timeit(lambda p, b: f(p, *infer_args[t](b)), batches,
+                           params)
         entry = {"infer_ms": round(ms, 3),
                  "infer_gflops": round(fl / 1e9, 2)}
         if peak:
@@ -226,9 +266,23 @@ def main(argv=None):
             compiled = step.lower(params, opt_state, batches[0],
                                   jrng).compile()
             fl = _flops_of(compiled)
-            def run(p, s, b):
-                return step(p, s, b, jrng)[2]
-            ms, _ = timeit(run, batches, params, opt_state)
+            if args.scan:
+                @jax.jit
+                def strain(p, s, st, step=step):
+                    def body(carry, b):
+                        p2, s2, logs = step(carry[0], carry[1], b, jrng)
+                        ls = sum(jnp.sum(leaf.astype(jnp.float32))
+                                 for leaf in jax.tree.leaves(logs))
+                        return (p2, s2), ls
+                    _, losses = jax.lax.scan(body, (p, s), st)
+                    return losses
+
+                ms = scan_time(strain, scan_stacks(batches), params,
+                               opt_state)
+            else:
+                def run(p, s, b):
+                    return step(p, s, b, jrng)[2]
+                ms, _ = timeit(run, batches, params, opt_state)
             report["tasks"][t]["train_ms"] = round(ms, 3)
             report["tasks"][t]["train_gflops"] = round(fl / 1e9, 2)
             if peak:
