@@ -4,7 +4,8 @@
 # Standalone model type: the head's pixel decoder OWNS its encoder and
 # projects raw backbone levels with input convs (reference
 # models/seg/rscotr_seg_pixel_decoder.py:49-68).
-_base_ = "../multi/default_runtime.py"
+_base_ = ["../_base_/seg/schedule_80k.py",
+          "../_base_/seg/default_runtime.py"]
 
 num_classes = 5
 model = dict(
@@ -49,14 +50,14 @@ data = dict(
                  loader=dict(seg_size=512, seg_pad_val=5)),
 )
 
-optimizer = dict(type="AdamW", lr=1e-4, weight_decay=0.0001,
+optimizer = dict(_delete_=True, type="AdamW", lr=1e-4, weight_decay=0.0001,
                  paramwise_cfg=dict(custom_keys={
                      "backbone": dict(lr_mult=0.1),
                      "query_embed": dict(decay_mult=0.0),
                      "query_feat": dict(decay_mult=0.0),
                      "level_embed": dict(decay_mult=0.0)}))
 optimizer_config = dict(grad_clip=dict(max_norm=0.01, norm_type=2))
-lr_config = dict(policy="poly", power=0.9, min_lr=0.0, max_iters=80000)
+lr_config = dict(_delete_=True, policy="poly", power=0.9, min_lr=0.0, max_iters=80000)
 runner = dict(type="IterBasedRunner", max_iters=80000)
 checkpoint_config = dict(interval=8000)
 evaluation = dict(interval=8000,

@@ -477,7 +477,20 @@ RAND_AUG_OPS = [
 
 @PIPELINES.register_module(name="RandAugment")
 class RandAugment:
-    """num_policies random ops at magnitude_level/total_level (+noise)."""
+    """num_policies random ops at magnitude_level/total_level (+noise).
+
+    ``policies``: optional explicit policy list as in the reference's
+    ``configs/_base_/cls/rand_aug.py`` (mmcls rand_increasing_policies —
+    dicts with ``type`` and optional ``direction``); the op pool is
+    filtered/ordered by it. ``None`` keeps the full built-in table.
+    ``magnitude_key``/``magnitude_range`` entries are accepted for config
+    compatibility; our ops already encode the same increasing-magnitude
+    ranges internally."""
+
+    _DIRECTED = {("Shear", "horizontal"): "Shear",
+                 ("Shear", "vertical"): "ShearY",
+                 ("Translate", "horizontal"): "Translate",
+                 ("Translate", "vertical"): "TranslateY"}
 
     def __init__(self, policies=None, num_policies=2, total_level=10,
                  magnitude_level=9, magnitude_std=0.5, hparams=None):
@@ -485,12 +498,24 @@ class RandAugment:
         self.total_level = total_level
         self.magnitude_level = magnitude_level
         self.magnitude_std = magnitude_std
+        self.ops = RAND_AUG_OPS
+        if policies is not None:
+            table = {name: (name, fn, signed)
+                     for name, fn, signed in RAND_AUG_OPS}
+            self.ops = []
+            for p in policies:
+                t = p["type"] if isinstance(p, dict) else str(p)
+                d = p.get("direction") if isinstance(p, dict) else None
+                name = self._DIRECTED.get((t, d), t)
+                if name not in table:
+                    raise KeyError(f"unknown RandAugment policy {t!r}")
+                self.ops.append(table[name])
 
     def __call__(self, results, rng):
         img = results["img"]
         for _ in range(self.num_policies):
-            name, fn, signed = RAND_AUG_OPS[
-                int(rng.integers(0, len(RAND_AUG_OPS)))]
+            name, fn, signed = self.ops[
+                int(rng.integers(0, len(self.ops)))]
             mag = self.magnitude_level
             if self.magnitude_std > 0:
                 mag = rng.normal(mag, self.magnitude_std)
