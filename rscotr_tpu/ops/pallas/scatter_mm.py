@@ -68,10 +68,48 @@ def _kernel(idx_ref, u_ref, o_ref, *, nv_block: int, acc_dtype):
                             preferred_element_type=jnp.float32)
 
 
+def _kernel_gated(idx_ref, u_hbm, o_ref, u_vmem, sem, *, nv_block: int,
+                  k_block: int, acc_dtype):
+    # Like _kernel, but the update block's HBM->VMEM DMA is ISSUED ONLY
+    # ON HIT (~90% of (row-block, update-block) pairs are empty at
+    # det-encoder level-0 shapes, and the auto-pipeline streams them
+    # all). NOT the default: it won STANDALONE (5.05 -> 3.89 ms/call,
+    # exact) but in the REAL train graphs det was flat (179.8 -> 180.3)
+    # and seg REGRESSED (131.2 -> 134.3 ms, scan-mode 2026-08-18) — in
+    # graph the auto-pipeline's streaming prefetch overlaps with
+    # neighboring ops for free, while gating serializes copy latency
+    # into the critical path. Kept as an option for sparser/larger
+    # scatters where the DMA truly dominates.
+    g = pl.program_id(0)
+    n = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    idx = idx_ref[...]
+    lo = n * nv_block
+    hit = jnp.any((idx >= lo) & (idx < lo + nv_block))
+
+    @pl.when(hit)
+    def _accum():
+        cp = pltpu.make_async_copy(
+            u_hbm.at[g, pl.ds(k * k_block, k_block)], u_vmem, sem)
+        cp.start()
+        cp.wait()
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (nv_block, k_block), 0) + lo
+        onehot = (rows == idx[None, :]).astype(acc_dtype)   # (nv, k)
+        o_ref[0] += jnp.dot(onehot, u_vmem[...].astype(acc_dtype),
+                            preferred_element_type=jnp.float32)
+
+
 def scatter_add_mm(updates: jnp.ndarray, idx: jnp.ndarray, num_rows: int,
                    nv_block: int = 1024, k_block: int = 1024,
                    acc_dtype=jnp.bfloat16,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   gate_dma: bool = False) -> jnp.ndarray:
     """Grouped scatter-add via MXU one-hot matmuls.
 
     SPMD-partitionable along the group axis G (``custom_partitioning``):
@@ -90,11 +128,11 @@ def scatter_add_mm(updates: jnp.ndarray, idx: jnp.ndarray, num_rows: int,
         (G, num_rows, C) float32.
     """
     return _scatter_add_mm_sharded(updates, idx, num_rows, nv_block,
-                                   k_block, acc_dtype, interpret)
+                                   k_block, acc_dtype, interpret, gate_dma)
 
 
 def _scatter_add_mm_local(updates, idx, num_rows, nv_block, k_block,
-                          acc_dtype, interpret):
+                          acc_dtype, interpret, gate_dma=False):
     G, K, C = updates.shape
     assert idx.shape == (G, K)
     kb = min(k_block, _round_up(K, 128))
@@ -107,30 +145,45 @@ def _scatter_add_mm_local(updates, idx, num_rows, nv_block, k_block,
         idx = jnp.pad(idx, ((0, 0), (0, Kp - K)))
 
     kblocks = Kp // kb
-    out = pl.pallas_call(
-        functools.partial(_kernel, nv_block=nb, acc_dtype=acc_dtype),
-        grid=(G, Np // nb, kblocks),
-        in_specs=[
-            # flat 1-D blocks: Mosaic's (8, 128) tiling rule rejects a
-            # (1, kb) 2-D block of the (G, K) index array
-            pl.BlockSpec((kb,), lambda g, n, k: (g * kblocks + k,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, C), lambda g, n, k: (g, k, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, nb, C), lambda g, n, k: (g, n, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, Np, C), jnp.float32),
-        interpret=interpret,
-    )(idx.astype(jnp.int32).reshape(-1), updates)
+    # flat 1-D idx blocks: Mosaic's (8, 128) tiling rule rejects a
+    # (1, kb) 2-D block of the (G, K) index array
+    idx_spec = pl.BlockSpec((kb,), lambda g, n, k: (g * kblocks + k,),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nb, C), lambda g, n, k: (g, n, 0),
+                            memory_space=pltpu.VMEM)
+    if gate_dma:
+        out = pl.pallas_call(
+            functools.partial(_kernel_gated, nv_block=nb, k_block=kb,
+                              acc_dtype=acc_dtype),
+            grid=(G, Np // nb, kblocks),
+            in_specs=[idx_spec,
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((G, Np, C), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((kb, C), updates.dtype),
+                            pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+        )(idx.astype(jnp.int32).reshape(-1), updates)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel, nv_block=nb, acc_dtype=acc_dtype),
+            grid=(G, Np // nb, kblocks),
+            in_specs=[idx_spec,
+                      pl.BlockSpec((1, kb, C), lambda g, n, k: (g, k, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((G, Np, C), jnp.float32),
+            interpret=interpret,
+        )(idx.astype(jnp.int32).reshape(-1), updates)
     return out[:, :num_rows, :]
 
 
-@functools.partial(custom_partitioning, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(custom_partitioning,
+                   static_argnums=(2, 3, 4, 5, 6, 7))
 def _scatter_add_mm_sharded(updates, idx, num_rows, nv_block, k_block,
-                            acc_dtype, interpret):
+                            acc_dtype, interpret, gate_dma):
     return _scatter_add_mm_local(updates, idx, num_rows, nv_block, k_block,
-                                 acc_dtype, interpret)
+                                 acc_dtype, interpret, gate_dma)
 
 
 def _g_spec(arg_shapes):
@@ -139,12 +192,13 @@ def _g_spec(arg_shapes):
 
 
 def _sharded_partition(num_rows, nv_block, k_block, acc_dtype, interpret,
-                       mesh, arg_shapes, result_shape):
+                       gate_dma, mesh, arg_shapes, result_shape):
     g = _g_spec(arg_shapes)
 
     def lower_fn(updates, idx):
         return _scatter_add_mm_local(updates, idx, num_rows, nv_block,
-                                     k_block, acc_dtype, interpret)
+                                     k_block, acc_dtype, interpret,
+                                     gate_dma)
 
     return (mesh, lower_fn,
             NamedSharding(mesh, P(g, None, None)),
@@ -153,7 +207,7 @@ def _sharded_partition(num_rows, nv_block, k_block, acc_dtype, interpret,
 
 
 def _sharded_infer(num_rows, nv_block, k_block, acc_dtype, interpret,
-                   mesh, arg_shapes, result_shape):
+                   gate_dma, mesh, arg_shapes, result_shape):
     return NamedSharding(mesh, P(_g_spec(arg_shapes), None, None))
 
 

@@ -138,12 +138,13 @@ class TestMsDeformAttnPallas:
 class TestScatterAddMM:
     """ops/pallas/scatter_mm.py — the MSDA backward's MXU scatter."""
 
+    @pytest.mark.parametrize("gate_dma", [False, True])
     @pytest.mark.parametrize("shape", [
         (2, 300, 128, 37),      # rows not a multiple of the block
         (1, 100, 32, 9),        # narrow rows (C=32), tiny table
         (3, 1500, 128, 1024),   # K > k_block after padding
     ])
-    def test_matches_xla_scatter(self, shape):
+    def test_matches_xla_scatter(self, shape, gate_dma):
         from rscotr_tpu.ops.pallas.scatter_mm import (scatter_add_mm,
                                                       scatter_add_xla)
         G, K, C, R = shape
@@ -152,7 +153,7 @@ class TestScatterAddMM:
         idx = jnp.asarray(rng.integers(0, R, size=(G, K)).astype(np.int32))
         ref = scatter_add_xla(upd, idx, R)
         out = scatter_add_mm(upd, idx, R, acc_dtype=jnp.float32,
-                             interpret=True)
+                             interpret=True, gate_dma=gate_dma)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
 
