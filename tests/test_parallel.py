@@ -216,3 +216,42 @@ def test_multi_process_test_single_process_equals_single_device():
     assert len(a["a"]) == len(b["a"]) == 6
     for x, y in zip(a["a"], b["a"]):
         np.testing.assert_array_equal(x, y)
+
+
+def test_sharded_multistep_trajectory_matches_single_device(cls_setup,
+                                                            cpu_mesh):
+    """Three sequential DP steps (state carried through, distinct batches)
+    stay on the single-device trajectory — catches opt-state sharding
+    drift that a one-step check can't see (the production scan-mode train
+    loop carries (params, opt_state) exactly like this)."""
+    params, opt_state, step = cls_setup
+    rngs = [jax.random.key(7 + i) for i in range(3)]
+    batches = []
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        batches.append({
+            "img": rng.normal(size=(8, 128, 128, 3)).astype(np.float32),
+            "gt_label": rng.integers(0, 45, 8).astype(np.int32)})
+
+    with jax.default_matmul_precision("highest"):
+        p1, o1 = params, opt_state
+        losses1 = []
+        for b, r in zip(batches, rngs):
+            p1, o1, l1 = step(p1, o1, b, r)
+            losses1.append(float(l1["loss"]))
+
+        repl = NamedSharding(cpu_mesh, P())
+        shard = NamedSharding(cpu_mesh, P("data"))
+        p2 = jax.device_put(params, repl)
+        o2 = jax.device_put(opt_state, repl)
+        losses2 = []
+        for b, r in zip(batches, rngs):
+            b_s = {k: jax.device_put(v, shard) for k, v in b.items()}
+            p2, o2, l2 = step(p2, o2, b_s, r)
+            losses2.append(float(l2["loss"]))
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert jax.tree.leaves(p2)[0].sharding.is_fully_replicated
