@@ -161,11 +161,20 @@ class TaskDataLoader:
 
 
 class PrefetchIterator:
-    """Wraps an iterator with a background prefetch thread."""
+    """Wraps an iterator with a background prefetch thread.
 
-    def __init__(self, it: Iterator, depth: int = 2):
+    ``transfer_fn`` (optional) runs on each item INSIDE the worker thread —
+    the runner passes a ``jax.device_put`` closure so host->device input
+    transfers overlap the previous step's compute instead of serializing
+    in the hot loop (mmcv hides the same latency in DataLoader workers +
+    CUDA async copies; measured on the axon-tunnel host: the synchronous
+    in-loop transfer of a 7-10 MB f32 batch cost 0.4-0.65 s/iter,
+    dwarfing the 0.02-0.18 s device step)."""
+
+    def __init__(self, it: Iterator, depth: int = 2, transfer_fn=None):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._it = it
+        self._transfer = transfer_fn
         self._done = object()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -173,6 +182,8 @@ class PrefetchIterator:
     def _worker(self):
         try:
             for x in self._it:
+                if self._transfer is not None:
+                    x = self._transfer(x)
                 self._q.put(x)
         finally:
             self._q.put(self._done)

@@ -64,11 +64,27 @@ class IterBasedRunner:
         return {k: jax.device_put(v, self._batch_sharding)
                 for k, v in batch.items()}
 
+    def _transfer_batch(self, batch):
+        """Runs in the prefetch thread: ship every array to the device
+        (sharded over the mesh when one is set) so the h2d transfer
+        overlaps the previous step's compute."""
+        import numpy as np
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                out[k] = (jax.device_put(v, self._batch_sharding)
+                          if self._batch_sharding is not None
+                          else jax.device_put(v))
+            else:
+                out[k] = v
+        return out
+
     def _make_iter(self, multi_loader):
         from rscotr_tpu.data.loader import PrefetchIterator
         it = iter(multi_loader)
         if self.prefetch and self.prefetch > 0:
-            it = PrefetchIterator(it, depth=self.prefetch)
+            it = PrefetchIterator(it, depth=self.prefetch,
+                                  transfer_fn=self._transfer_batch)
         return it
 
     def _maybe_profile(self):
