@@ -180,9 +180,12 @@ def main():
         dispatch_ms[t] = (time.perf_counter() - t0) / ITERS * 1e3
 
         run = make_scanned(infer[t])
-        # N_OUTER distinct pre-built stacks so no outer call repeats
+        # N_OUTER+1 distinct pre-built stacks: one is the warmup, so NO
+        # timed call repeats any earlier dispatch (the identical-dispatch
+        # cache this harness defends against would otherwise be able to
+        # serve the first timed call)
         stacks = []
-        for j in range(N_OUTER):
+        for j in range(N_OUTER + 1):
             stacks.append(tuple(
                 jnp.stack([variants[t][i][k] +
                            (np.float32(j) * 1e-3
@@ -193,9 +196,9 @@ def main():
         for s in stacks:
             for a in s:
                 _sync(a)
-        _sync(run(params, *stacks[0]))          # compile outside timing
+        _sync(run(params, *stacks[-1]))         # compile outside timing
         t0 = time.perf_counter()
-        for s in stacks:
+        for s in stacks[:N_OUTER]:
             acc = run(params, *s)
         _sync(acc)
         task_ms[t] = (time.perf_counter() - t0) / (N_OUTER * ITERS) * 1e3

@@ -176,6 +176,7 @@ class PrefetchIterator:
         self._it = it
         self._transfer = transfer_fn
         self._done = object()
+        self._error = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -185,6 +186,11 @@ class PrefetchIterator:
                 if self._transfer is not None:
                     x = self._transfer(x)
                 self._q.put(x)
+        except BaseException as e:   # noqa: B036 — re-raised in __next__
+            # a device_put failure (OOM, tunnel RPC error) must surface in
+            # the caller, not masquerade as iterator exhaustion — the
+            # runner treats StopIteration as a normal epoch end
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -194,6 +200,9 @@ class PrefetchIterator:
     def __next__(self):
         x = self._q.get()
         if x is self._done:
+            if self._error is not None:
+                raise RuntimeError(
+                    "prefetch worker failed") from self._error
             raise StopIteration
         return x
 

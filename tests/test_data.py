@@ -234,3 +234,24 @@ class TestMetrics:
         mg = eval_map(dets_good, anns, 1, [0.5])["bbox_mAP"]
         mb = eval_map(dets_bad, anns, 1, [0.5])["bbox_mAP"]
         assert 0 <= mb < mg <= 1.0
+
+
+def test_prefetch_iterator_propagates_worker_errors():
+    """A transfer_fn failure (e.g. device_put OOM) must surface as an
+    error in the consumer, NOT as StopIteration — the runner treats
+    exhaustion as a normal epoch end and would silently restart."""
+    from rscotr_tpu.data.loader import PrefetchIterator
+
+    def boom(x):
+        raise ValueError("device exploded")
+
+    it = PrefetchIterator(iter([1, 2, 3]), depth=2, transfer_fn=boom)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        next(it)
+
+
+def test_prefetch_iterator_transfer_fn_applied_in_order():
+    from rscotr_tpu.data.loader import PrefetchIterator
+    it = PrefetchIterator(iter([1, 2, 3]), depth=1,
+                          transfer_fn=lambda x: x * 10)
+    assert list(it) == [10, 20, 30]

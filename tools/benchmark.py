@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rscotr_tpu.utils import (honor_jax_platforms_env,  # noqa: E402
                               setup_compile_cache)
@@ -98,79 +99,26 @@ def main(argv=None):
                            if cfg.model.get(key) is not None]
 
     # batch shapes come from the config's per-task loader entries (so the
-    # CDN max_gt etc. match exactly); CLI flags override
-    shapes = {"cls": dict(bs=16, size=224),
-              "det": dict(bs=1, size=800, max_gt=100),
-              "seg": dict(bs=2, size=512)}
-    for entry in cfg.data.values():
-        t = entry.get("task")
-        if t not in shapes:
-            continue
-        opts = dict(entry.get("loader", {}) or {})
-        shapes[t]["bs"] = int(entry.get("data", {}).get(
-            "samples_per_gpu", shapes[t]["bs"]))
-        if t == "cls" and "cls_size" in opts:
-            shapes[t]["size"] = int(opts["cls_size"])
-        if t == "det":
-            if "det_bucket_hw" in opts:
-                shapes[t]["size"] = int(opts["det_bucket_hw"][0])
-            shapes[t]["max_gt"] = int(opts.get("max_gt", 100))
-        if t == "seg" and "seg_size" in opts:
-            shapes[t]["size"] = int(opts["seg_size"])
-    for t in ("cls", "det", "seg"):
-        bs = getattr(args, f"{t}_bs")
-        size = getattr(args, f"{t}_size")
-        if bs:
-            shapes[t]["bs"] = bs
-        if size:
-            shapes[t]["size"] = size
+    # CDN max_gt etc. match exactly); CLI flags override. Shared with
+    # tools/trace_step.py so traces match the benchmarked graphs.
+    from _bench_common import derive_shapes, make_batch_fns
+    shapes = derive_shapes(cfg, {
+        t: {"bs": getattr(args, f"{t}_bs"),
+            "size": getattr(args, f"{t}_size")}
+        for t in ("cls", "det", "seg")})
 
     rng = np.random.default_rng(0)
     jrng = jax.random.key(0)
 
-    def cls_batch(i):
-        bs, S = shapes["cls"]["bs"], shapes["cls"]["size"]
-        return {"img": jnp.asarray(
-                    rng.normal(size=(bs, S, S, 3)).astype(np.float32)),
-                "gt_label": jnp.asarray(
-                    rng.integers(0, 2, size=(bs,)).astype(np.int32))}
-
-    def det_batch(i):
-        bs, S, G = (shapes["det"]["bs"], shapes["det"]["size"],
-                    shapes["det"]["max_gt"])
-        cx = rng.uniform(0.2, 0.8, size=(bs, G))
-        wh = rng.uniform(0.05, 0.2, size=(bs, G, 2))
-        boxes = np.stack([(cx - wh[..., 0] / 2) * S,
-                          (cx - wh[..., 1] / 2) * S,
-                          (cx + wh[..., 0] / 2) * S,
-                          (cx + wh[..., 1] / 2) * S], -1).astype(np.float32)
-        return {"img": jnp.asarray(rng.normal(
-                    size=(bs, S, S, 3)).astype(np.float32)),
-                "img_hw": jnp.asarray([[S, S]] * bs, jnp.int32),
-                "scale_factor": jnp.ones((bs, 4), jnp.float32),
-                "gt_bboxes": jnp.asarray(boxes),
-                "gt_labels": jnp.asarray(rng.integers(
-                    0, 2, size=(bs, G)).astype(np.int32)),
-                "gt_valid": jnp.asarray(
-                    np.arange(G)[None] < min(10, G)).repeat(bs, 0)}
-
-    def seg_batch(i):
-        bs, S = shapes["seg"]["bs"], shapes["seg"]["size"]
-        return {"img": jnp.asarray(rng.normal(
-                    size=(bs, S, S, 3)).astype(np.float32)),
-                "img_hw": jnp.asarray([[S, S]] * bs, jnp.int32),
-                "gt_semantic_seg": jnp.asarray(rng.integers(
-                    0, 3, size=(bs, S, S)).astype(np.int32))}
-
-    mk_batch = {"cls": cls_batch, "det": det_batch, "seg": seg_batch}
+    mk_batch = make_batch_fns(shapes, rng)
 
     init_args = {}
-    b = cls_batch(0)
+    b = mk_batch["cls"](0)
     init_args["cls_img"] = b["img"][:1]
-    b = det_batch(0)
+    b = mk_batch["det"](0)
     init_args["det_img"], init_args["det_img_hw"] = (b["img"][:1],
                                                      b["img_hw"][:1])
-    init_args["seg_img"] = seg_batch(0)["img"][:1]
+    init_args["seg_img"] = mk_batch["seg"](0)["img"][:1]
     params = model.init(jrng, **init_args)
 
     def sync(x):
@@ -203,8 +151,10 @@ def main(argv=None):
         "det": lambda b: (b["img"], b["img_hw"], b["scale_factor"]),
         "seg": lambda b: (b["img"],),
     }
-    def scan_stacks(batches, n=2):
-        """n distinct stacked-batch pytrees (iters on axis 0)."""
+    def scan_stacks(batches, n=3):
+        """n distinct stacked-batch pytrees (iters on axis 0). The LAST
+        one is reserved for warmup so no timed call repeats an earlier
+        dispatch (the identical-dispatch cache could serve a repeat)."""
         out = []
         for j in range(n):
             out.append(jax.tree.map(
@@ -215,12 +165,13 @@ def main(argv=None):
         return out
 
     def scan_time(run, stacks, *state):
-        sync(run(*state, stacks[0]))            # compile + warm
+        sync(run(*state, stacks[-1]))           # compile + warm
+        timed = stacks[:-1]
         t0 = time.perf_counter()
-        for st in stacks:
+        for st in timed:
             acc = run(*state, st)
         sync(acc)
-        return (time.perf_counter() - t0) / (len(stacks) * args.iters) * 1e3
+        return (time.perf_counter() - t0) / (len(timed) * args.iters) * 1e3
 
     for t in tasks:
         batches = [mk_batch[t](i) for i in range(args.iters)]

@@ -29,6 +29,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rscotr_tpu.utils import (honor_jax_platforms_env,  # noqa: E402
                               setup_compile_cache)
@@ -46,39 +47,13 @@ def _flagship(root):
     return load_data_cfg(cfg, config_root=root)
 
 
-def _batches(task, n, nprng):
-    import jax.numpy as jnp
-    import numpy as np
-    out = []
-    for _ in range(n):
-        if task == "det":
-            G, S = 100, 800
-            cx = nprng.uniform(0.2, 0.8, size=(1, G))
-            wh = nprng.uniform(0.05, 0.2, size=(1, G, 2))
-            boxes = np.stack([(cx - wh[..., 0] / 2) * S,
-                              (cx - wh[..., 1] / 2) * S,
-                              (cx + wh[..., 0] / 2) * S,
-                              (cx + wh[..., 1] / 2) * S],
-                             -1).astype(np.float32)
-            out.append({"img": jnp.asarray(nprng.normal(
-                            size=(1, S, S, 3)).astype(np.float32)),
-                        "img_hw": jnp.asarray([[S, S]], jnp.int32),
-                        "gt_bboxes": jnp.asarray(boxes),
-                        "gt_labels": jnp.asarray(nprng.integers(
-                            0, 20, size=(1, G)).astype(np.int32)),
-                        "gt_valid": jnp.asarray(np.arange(G)[None] < 10)})
-        elif task == "seg":
-            out.append({"img": jnp.asarray(nprng.normal(
-                            size=(2, 512, 512, 3)).astype(np.float32)),
-                        "img_hw": jnp.asarray([[512, 512]] * 2, jnp.int32),
-                        "gt_semantic_seg": jnp.asarray(nprng.integers(
-                            0, 5, size=(2, 512, 512)).astype(np.int32))})
-        else:  # cls
-            out.append({"img": jnp.asarray(nprng.normal(
-                            size=(16, 224, 224, 3)).astype(np.float32)),
-                        "gt_label": jnp.asarray(nprng.integers(
-                            0, 45, size=(16,)).astype(np.int32))})
-    return out
+def _batches(task, n, nprng, cfg):
+    # shared with tools/benchmark.py so traces correspond exactly to the
+    # benchmarked graphs (shapes derive from the config's loader entries)
+    from _bench_common import derive_shapes, make_batch_fns
+    mk = make_batch_fns(derive_shapes(cfg), nprng,
+                        num_classes={"cls": 45, "det": 20, "seg": 5})
+    return [mk[task](i) for i in range(n)]
 
 
 def _rows_from_tool_data(data):
@@ -123,7 +98,7 @@ def main():
 
     nprng = np.random.default_rng(0)
     jrng = jax.random.key(0)
-    batches = _batches(args.task, args.iters + 1, nprng)
+    batches = _batches(args.task, args.iters + 1, nprng, cfg)
 
     params = model.init(jrng, cls_img=jnp.zeros((1, 224, 224, 3)),
                         det_img=jnp.zeros((1, 800, 800, 3)),
@@ -199,7 +174,8 @@ def main():
     for r in rows:
         t = float(fget(r, "Total self time (us)", "total_self_time_us",
                        "Total self time (µs)") or 0.0)
-        cat = str(r.get("Category") or r.get("category") or "?")
+        cat = str(r.get("HLO op category") or r.get("Category")
+                  or r.get("category") or "?")
         keyed.append((t, cat, text(r)))
     keyed.sort(key=lambda x: -x[0])
     total_us = sum(t for t, _, _ in keyed)
