@@ -45,11 +45,17 @@ _TASK_INPUT_NAMES = {
 }
 
 
-def task_input_specs(task: str, bs: int, size: int):
+def task_input_specs(task: str, bs: int, size: int,
+                     img_dtype=jnp.float32):
     """ShapeDtypeStructs for one task's inference inputs (static shapes —
     the serving contract is one compiled program per (bs, size) bucket,
-    matching the training-time static-shape discipline)."""
-    img = jax.ShapeDtypeStruct((bs, size, size, 3), jnp.float32)
+    matching the training-time static-shape discipline).
+
+    ``img_dtype=jnp.uint8`` exports a raw-bytes-in artifact: the inference
+    steps normalize uint8 inputs ON DEVICE (engine/train_step.py::
+    device_normalize), so the mean/std get baked into the program —
+    serving then feeds resized raw pixels with no host preprocessing."""
+    img = jax.ShapeDtypeStruct((bs, size, size, 3), img_dtype)
     if task == "det":
         return (img, jax.ShapeDtypeStruct((bs, 2), jnp.int32),
                 jax.ShapeDtypeStruct((bs, 4), jnp.float32))
@@ -60,7 +66,8 @@ def export_inference(model, params, shapes: Dict[str, dict], *,
                      tasks: Sequence[str] = ("cls", "det", "seg"),
                      max_per_img: int = 300, img_norm=None,
                      seg_test_cfg=None,
-                     platforms: Optional[Sequence[str]] = None
+                     platforms: Optional[Sequence[str]] = None,
+                     img_dtype=jnp.float32
                      ) -> Dict[str, "jax.export.Exported"]:
     """Lower + export each task's inference step.
 
@@ -84,7 +91,8 @@ def export_inference(model, params, shapes: Dict[str, dict], *,
                          *inputs)
 
         specs = task_input_specs(task, int(shapes[task]["bs"]),
-                                 int(shapes[task]["size"]))
+                                 int(shapes[task]["size"]),
+                                 img_dtype=img_dtype)
         exp = jexport.export(jax.jit(serve),
                              platforms=(list(platforms)
                                         if platforms else None))
@@ -99,6 +107,7 @@ def _leaf_key(i: int, path) -> str:
 
 def save_artifact(out_dir: str, exported: Dict, params,
                   shapes: Dict[str, dict], *, classes=None,
+                  img_norm=None,
                   extra_meta: Optional[dict] = None) -> None:
     """Persist exports + flat params + metadata into ``out_dir``."""
     os.makedirs(out_dir, exist_ok=True)
@@ -112,6 +121,11 @@ def save_artifact(out_dir: str, exported: Dict, params,
         "num_param_leaves": len(arrays),
         "tasks": {},
         "classes": classes or {},
+        # (mean, std): baked into the program for uint8-input artifacts;
+        # for float32-input artifacts the caller must pre-normalize with
+        # these stats (None = not normalized in-graph / ImageNet default)
+        "img_norm": ([list(img_norm[0]), list(img_norm[1])]
+                     if img_norm is not None else None),
     }
     for task, exp in exported.items():
         with open(os.path.join(out_dir, f"{task}.stablehlo"), "wb") as f:

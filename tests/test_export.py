@@ -95,6 +95,60 @@ def test_output_contracts(exported_dir):
     assert seg.shape == (2, 64, 64) and seg.dtype == np.int32
 
 
+def test_uint8_raw_input_export():
+    """uint8 export bakes device-side normalization into the program:
+    feeding raw bytes must match the live step on the same raw bytes."""
+    model = build_model(TINY_MODEL_CFG)
+    params = model.init(jax.random.key(0),
+                        cls_img=jnp.zeros((1, 32, 32, 3)))
+    norm = ((10.0, 20.0, 30.0), (5.0, 5.0, 5.0))
+    exported = export_inference(model, params, SHAPES, tasks=["cls"],
+                                img_norm=norm, img_dtype=jnp.uint8)
+    infer = make_infer_steps(model, img_norm=norm)
+    raw = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(2, 32, 32, 3)).astype(np.uint8))
+    leaves = jax.tree_util.tree_leaves(params)
+    got = exported["cls"].call(leaves, raw)
+    want = infer["cls"](params, raw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+    assert str(exported["cls"].in_avals[len(leaves)].dtype) == "uint8"
+
+
+def test_serve_cli_from_artifact(exported_dir, tmp_path):
+    """tools/serve.py runs images through the artifact with NO model
+    code: results.json for cls/det + seg label PNG at input resolution."""
+    import importlib.util
+    from PIL import Image
+
+    _, _, artifact = exported_dir
+    rng = np.random.default_rng(7)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):  # 3 images -> exercises partial final batch (bs=2)
+        Image.fromarray(rng.integers(0, 255, size=(40, 50, 3)
+                                     ).astype(np.uint8)).save(
+            img_dir / f"im{i}.png")
+    out_dir = tmp_path / "out"
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "serve", os.path.join(root, "tools", "serve.py"))
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+    serve.main([artifact, str(img_dir), "--out-dir", str(out_dir),
+                "--score-thr", "0.0"])
+
+    res = json.load(open(out_dir / "results.json"))
+    assert set(res) == {"im0.png", "im1.png", "im2.png"}
+    for name, r in res.items():
+        assert {"cls", "det", "seg"} <= set(r)
+        assert 0 <= r["cls"]["top1"] < 7
+        assert r["det"]["boxes_xyxy_score"]
+        seg = np.asarray(Image.open(r["seg"]["png"]))
+        assert seg.shape == (40, 50)
+
+
 def test_spec_helper():
     specs = task_input_specs("det", 2, 128)
     assert [tuple(s.shape) for s in specs] == [(2, 128, 128, 3), (2, 2),

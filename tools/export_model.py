@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and verify outputs against "
                         "the live model")
+    p.add_argument("--input-dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="uint8 = raw-bytes-in serving artifact "
+                        "(normalization baked into the program)")
     for t in ("cls", "det", "seg"):
         p.add_argument(f"--{t}-bs", type=int, default=0)
         p.add_argument(f"--{t}-size", type=int, default=0)
@@ -90,12 +94,13 @@ def main(argv=None):
     print(f"exporting tasks={args.tasks} shapes="
           f"{ {t: shapes[t] for t in args.tasks} } "
           f"platforms={args.platforms or [jax.default_backend()]}")
+    img_dtype = jnp.uint8 if args.input_dtype == "uint8" else jnp.float32
     exported = export_inference(
         model, params, shapes, tasks=args.tasks, max_per_img=max_per_img,
         img_norm=img_norm, seg_test_cfg=seg_test_cfg,
-        platforms=args.platforms)
+        platforms=args.platforms, img_dtype=img_dtype)
     save_artifact(args.out, exported, params, shapes,
-                  classes=ck["meta"].get("CLASSES"),
+                  classes=ck["meta"].get("CLASSES"), img_norm=img_norm,
                   extra_meta={"config": os.path.basename(args.config)})
     for t in args.tasks:
         sz = os.path.getsize(os.path.join(args.out, f"{t}.stablehlo"))
@@ -111,12 +116,17 @@ def main(argv=None):
         ok = True
         from rscotr_tpu.export import _TASK_INPUT_NAMES
         for t in args.tasks:
-            specs = task_input_specs(t, shapes[t]["bs"], shapes[t]["size"])
+            specs = task_input_specs(t, shapes[t]["bs"], shapes[t]["size"],
+                                     img_dtype=img_dtype)
             inputs = []
             for name, s in zip(_TASK_INPUT_NAMES[t], specs):
                 if name == "img":
-                    inputs.append(jnp.asarray(
-                        rng.normal(size=s.shape).astype(s.dtype)))
+                    if s.dtype == jnp.uint8:
+                        inputs.append(jnp.asarray(rng.integers(
+                            0, 256, size=s.shape).astype(np.uint8)))
+                    else:
+                        inputs.append(jnp.asarray(
+                            rng.normal(size=s.shape).astype(s.dtype)))
                 elif name == "img_hw":
                     inputs.append(jnp.full(s.shape, shapes[t]["size"],
                                            s.dtype))
