@@ -529,10 +529,28 @@ class RandAugment:
 
 @PIPELINES.register_module(name="LoadImageFromFile")
 class LoadImageFromFile:
+    """Decodes via the native C++ core (csrc/image_core.cpp — libjpeg/
+    libpng, GIL released, so loader threads decode in parallel) with a
+    PIL fallback; the reference decodes through cv2/turbojpeg inside the
+    mm pipelines. RSCOTR_NO_NATIVE_IMDECODE=1 forces the PIL path.
+
+    Pass-through when the sample already carries a decoded ``img`` and no
+    ``img_path`` (eagerly-loading datasets, inference_one_img's raw-image
+    inputs — the reference strips this op from those pipelines instead,
+    tools/inference_one_img.py:267-290)."""
+
     def __call__(self, results, rng=None):
-        path = results["img_path"]
-        im = Image.open(path).convert("RGB")
-        results["img"] = np.asarray(im, np.float32)
+        path = results.get("img_path")
+        if path is None:
+            if "img" not in results:
+                raise KeyError("LoadImageFromFile: sample has neither "
+                               "'img_path' nor a decoded 'img'")
+            return results
+        from rscotr_tpu.data.native_image import imread
+        arr = imread(path)
+        if arr is None:
+            arr = np.asarray(Image.open(path).convert("RGB"))
+        results["img"] = arr.astype(np.float32)
         results["ori_shape"] = results["img"].shape
         results["img_shape"] = results["img"].shape
         return results
@@ -571,8 +589,11 @@ def split_normalize_cfg(cfgs: Sequence[dict]):
 
 def build_pipeline(cfgs: Sequence[dict]) -> List:
     """Build a transform list from reference-shaped pipeline configs,
-    skipping torch-format bundling steps (we batch numpy directly)."""
-    skip = {"LoadImageFromFile", "LoadAnnotations", "DefaultFormatBundle",
+    skipping torch-format bundling steps (we batch numpy directly).
+    LoadImageFromFile is KEPT: datasets that index real files emit
+    ``img_path`` and rely on it (it passes through samples that already
+    carry a decoded ``img``)."""
+    skip = {"LoadAnnotations", "DefaultFormatBundle",
             "ImageToTensor", "ToTensor", "Collect", "MultiScaleFlipAug"}
     out = []
     for c in cfgs:

@@ -166,7 +166,10 @@ class TestPipelines:
             dict(type="Collect", keys=["img"]),
         ]
         p = build_pipeline(cfgs)
-        assert len(p) == 4  # Load/FormatBundle/Collect skipped
+        # FormatBundle/Collect skipped; LoadImageFromFile KEPT (datasets
+        # emit img_path — see TestRealFileDatasets)
+        assert len(p) == 5
+        assert type(p[0]).__name__ == "LoadImageFromFile"
 
 
 class TestMetrics:
@@ -255,3 +258,82 @@ def test_prefetch_iterator_transfer_fn_applied_in_order():
     it = PrefetchIterator(iter([1, 2, 3]), depth=1,
                           transfer_fn=lambda x: x * 10)
     assert list(it) == [10, 20, 30]
+
+
+class TestRealFileDatasets:
+    """Regression for the real-data path: file-indexed datasets emit
+    img_path and rely on LoadImageFromFile in the loader pipeline
+    (previously build_pipeline skipped it, so any non-synthetic cls/det
+    run crashed in collate on the missing 'img')."""
+
+    def _make_cls_folder(self, root):
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        for cname in ("alpha", "beta"):
+            d = root / cname
+            d.mkdir(parents=True)
+            for i in range(3):
+                Image.fromarray(rng.integers(
+                    0, 255, size=(24 + i, 30, 3)).astype(np.uint8)).save(
+                    d / f"{i}.jpg")
+        return str(root)
+
+    def test_resisc_folder_end_to_end(self, tmp_path):
+        from rscotr_tpu.data.datasets import ResiscDataset
+        from rscotr_tpu.data.loader import TaskDataLoader
+        from rscotr_tpu.data.loader import collate_cls
+        from rscotr_tpu.data.pipelines import build_pipeline
+
+        ds = ResiscDataset(self._make_cls_folder(tmp_path / "cls"))
+        assert ds.CLASSES == ("alpha", "beta") and len(ds) == 6
+        pipe = build_pipeline([
+            dict(type="LoadImageFromFile"),
+            dict(type="Resize", size=(16, 16), keep_ratio=False)])
+        dl = TaskDataLoader(ds, 2, pipeline=pipe, collate_fn=collate_cls,
+                            num_threads=2)
+        batch = next(iter(dl))
+        assert batch["img"].shape == (2, 16, 16, 3)
+        assert batch["img"].dtype == np.float32
+        assert batch["gt_label"].shape == (2,)
+        assert float(batch["img"].std()) > 0  # real pixels, not zeros
+
+    def test_coco_json_end_to_end(self, tmp_path):
+        import json as _json
+        from PIL import Image
+        from rscotr_tpu.data.datasets import CocoDetDataset
+        from rscotr_tpu.data.loader import TaskDataLoader, collate_det
+        from rscotr_tpu.data.pipelines import build_pipeline
+
+        rng = np.random.default_rng(1)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        images, annotations = [], []
+        for i in range(2):
+            Image.fromarray(rng.integers(
+                0, 255, size=(40, 32, 3)).astype(np.uint8)).save(
+                img_dir / f"im{i}.jpg")
+            images.append({"id": i, "file_name": f"im{i}.jpg",
+                           "width": 32, "height": 40})
+            annotations.append({"id": i, "image_id": i, "category_id": 1,
+                                "bbox": [2, 3, 10, 12], "iscrowd": 0,
+                                "area": 120})
+        ann = tmp_path / "ann.json"
+        ann.write_text(_json.dumps({
+            "images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "golffield"}]}))
+
+        ds = CocoDetDataset(str(ann), str(img_dir))
+        assert len(ds) == 2
+        pipe = build_pipeline([
+            dict(type="LoadImageFromFile"),
+            dict(type="Resize", img_scale=(48, 48), keep_ratio=True)])
+        dl = TaskDataLoader(
+            ds, 2, pipeline=pipe,
+            collate_fn=lambda s: collate_det(s, (48, 48), 5),
+            num_threads=1)
+        batch = next(iter(dl))
+        assert batch["img"].shape == (2, 48, 48, 3)
+        assert batch["gt_bboxes"].shape == (2, 5, 4)
+        assert bool(batch["gt_valid"][:, 0].all())
+        # boxes were rescaled by the pipeline (48/40 = 1.2 on y)
+        assert float(batch["gt_bboxes"].max()) > 12

@@ -60,3 +60,72 @@ class TestNativeSegConfusion:
         got = seg_confusion_native(pred, label, 5, ignore_index=5)
         for a, b in zip(got, want):
             np.testing.assert_array_equal(a, b)
+
+
+class TestNativeImageDecode:
+    """csrc/image_core.cpp vs PIL (same libjpeg/libpng -> bit-exact)."""
+
+    def _png_bytes(self, arr):
+        import io
+        from PIL import Image
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, format="PNG")
+        return b.getvalue()
+
+    def test_png_exact_and_gray_to_rgb(self):
+        from rscotr_tpu.data.native_image import imdecode, load_native
+        if load_native() is None:
+            pytest.skip("native image lib unavailable")
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, size=(37, 53, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(imdecode(self._png_bytes(img)), img)
+        gray = imdecode(self._png_bytes(img[:, :, 0]))
+        assert gray.shape == (37, 53, 3)
+        np.testing.assert_array_equal(gray[:, :, 0], img[:, :, 0])
+
+    def test_jpeg_matches_pil(self):
+        import io
+        from PIL import Image
+        from rscotr_tpu.data.native_image import imdecode, load_native
+        if load_native() is None:
+            pytest.skip("native image lib unavailable")
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, size=(64, 48, 3)).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="JPEG", quality=90)
+        jb = b.getvalue()
+        pil = np.asarray(Image.open(io.BytesIO(jb)).convert("RGB"))
+        np.testing.assert_array_equal(imdecode(jb), pil)
+
+    def test_garbage_returns_none(self):
+        from rscotr_tpu.data.native_image import imdecode
+        assert imdecode(b"definitely not an image") is None
+        assert imdecode(b"") is None
+
+    def test_load_image_pipeline_uses_native(self, tmp_path):
+        """LoadImageFromFile (kept by build_pipeline — datasets emit
+        img_path) produces identical output with and without the native
+        decoder (PIL fallback parity), and passes through samples that
+        already carry a decoded img (inference_one_img's raw inputs)."""
+        import os
+        from PIL import Image
+        from rscotr_tpu.data.pipelines import build_pipeline, run_pipeline
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, size=(20, 30, 3)).astype(np.uint8)
+        p = str(tmp_path / "x.png")
+        Image.fromarray(img).save(p)
+        pipe = build_pipeline([dict(type="LoadImageFromFile")])
+        assert len(pipe) == 1  # not skipped
+        res = run_pipeline(pipe, {"img_path": p}, np.random.default_rng(0))
+        np.testing.assert_array_equal(res["img"], img.astype(np.float32))
+        assert res["ori_shape"] == (20, 30, 3)
+        os.environ["RSCOTR_NO_NATIVE_IMDECODE"] = "1"
+        try:
+            res2 = run_pipeline(pipe, {"img_path": p},
+                                np.random.default_rng(0))
+            np.testing.assert_array_equal(res2["img"], res["img"])
+        finally:
+            del os.environ["RSCOTR_NO_NATIVE_IMDECODE"]
+        # pass-through for already-decoded samples
+        raw = {"img": img.astype(np.float32)}
+        assert run_pipeline(pipe, raw, None)["img"] is raw["img"]
