@@ -285,7 +285,8 @@ def train_model(cfg, work_dir: str, seed: int = 0,
     classes_meta = {n: list(ds.CLASSES) for n, ds in datasets.items()}
     runner.register_hook(CheckpointHook(
         interval=ckpt_cfg.get("interval", 100000), work_dir=work_dir,
-        meta={"CLASSES": classes_meta}))
+        meta={"CLASSES": classes_meta},
+        max_keep_ckpts=ckpt_cfg.get("max_keep_ckpts", -1)))
     if validate:
         ev = cfg.get("evaluation", {}) or {}
         eval_fn = make_eval_fn(

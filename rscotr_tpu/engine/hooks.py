@@ -9,6 +9,7 @@ multi-metric ``KeyIndicator`` save-best
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -57,19 +58,38 @@ class LogHook(Hook):
 
 
 class CheckpointHook(Hook):
+    """``max_keep_ckpts``: mmcv CheckpointHook semantics — keep only the
+    newest N ``iter_*`` checkpoints (-1 = keep all); ``best_checkpoint``
+    (written by MultiDatasetsEvalHook) is never touched."""
     priority = 70
 
     def __init__(self, interval: int = 100000, work_dir: str = "work_dir",
-                 meta: Optional[dict] = None):
+                 meta: Optional[dict] = None, max_keep_ckpts: int = -1):
         self.interval = interval
         self.work_dir = work_dir
         self.meta = meta or {}
+        self.max_keep_ckpts = max_keep_ckpts
+
+    def _prune(self) -> None:
+        if self.max_keep_ckpts <= 0:
+            return
+        import re
+        import shutil
+        steps = []
+        for d in os.listdir(self.work_dir):
+            m = re.fullmatch(r"iter_(\d+)", d)
+            if m and os.path.isdir(os.path.join(self.work_dir, d)):
+                steps.append(int(m.group(1)))
+        for s in sorted(steps)[:-self.max_keep_ckpts]:
+            shutil.rmtree(os.path.join(self.work_dir, f"iter_{s}"),
+                          ignore_errors=True)
 
     def after_train_iter(self, runner) -> None:
         if runner.step % self.interval == 0 or \
                 runner.step == runner.max_iters:
             save_checkpoint(self.work_dir, runner.step, runner.params,
                             runner.opt_state, meta=self.meta)
+            self._prune()
 
 
 class KeyIndicator:
