@@ -1,18 +1,32 @@
 """Contrastive denoising (CDN) query generation — static shapes.
 
 Capability-equivalent of the reference's ``CdnQueryGenerator``
-(/root/reference/models/multi/bbox_head/query_denoising.py:8-201), redesigned
-TPU-first:
+(/root/reference/models/multi/bbox_head/query_denoising.py:8-201) and its
+target assignment (/root/reference/models/multi/bbox_head/dino_head.py:
+311-368), redesigned TPU-first:
 
-* GTs arrive padded to MAX_GT with a validity mask; ``single_pad`` is the
-  static MAX_GT and ``num_groups = max(num_dn_queries // MAX_GT, 1)`` is
-  static, so ``pad_size`` and the attention mask are compile-time constants.
-  (The reference sizes groups from the batch's max GT count at runtime —
-  the only behavioral deviation; padded slots behave as always-background
-  denoising queries exactly like the reference's intra-batch padding slots.)
+* GTs arrive padded to ``max_gt`` with a validity mask. The reference sizes
+  its DN groups from the batch's *runtime* max GT count
+  (``single_pad = max(known_num)``, ``num_groups = num_dn_queries //
+  single_pad`` — query_denoising.py:36-53,97,121-123), which is a dynamic
+  shape. The TPU-first equivalent decouples the DN group width from the
+  loss-padding cap: ``dn_max_gt`` (static, default = ``max_gt``) plays the
+  role of the reference's ``single_pad``, so
+  ``num_groups = max(num_dn_queries // dn_max_gt, 1)`` and
+  ``pad_size = 2 * dn_max_gt * num_groups`` are compile-time constants.
+  With the flagship settings (num_dn_queries=100, dn_max_gt=20) this yields
+  5 groups — the reference's supervision density for a typical <=20-GT DIOR
+  image — at the SAME pad_size (200) as the old max_gt-sized single group.
+  Only the first ``dn_max_gt`` GT slots (collate packs valid GTs first)
+  receive denoising queries; images with more GTs than ``dn_max_gt`` get DN
+  supervision on the first ``dn_max_gt`` of them (the reference instead
+  widens every group — the one residual deviation, benign because such
+  images are rare and their extra GTs still receive full matching-loss
+  supervision).
 * Layout matches the reference: group g occupies slots
   [g*2*S, (g+1)*2*S) with positives in the first S and negatives in the
-  second S; GT i sits at offset i of each block.
+  second S; GT i sits at offset i of each block
+  (query_denoising.py:124-129,165-177).
 * Label noise: flip to a uniform random class w.p. 0.5 * label_noise_scale.
 * Box noise: corner jitter scaled by half-extents; negatives pushed by an
   extra unit (rand_part in [1, 2)), clamp to [0, 1].
@@ -23,7 +37,7 @@ TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -38,23 +52,39 @@ from rscotr_tpu.ops.box_ops import bbox_cxcywh_to_xyxy, bbox_xyxy_to_cxcywh, \
 class CdnConfig:
     num_classes: int
     num_queries: int          # matching queries (600)
-    max_gt: int               # static per-image GT cap
+    max_gt: int               # static per-image GT cap (loss padding)
     num_dn_queries: int = 100
     label_noise_scale: float = 0.5
     box_noise_scale: float = 1.0
     dynamic: bool = True      # config parity; groups are static regardless
-
-    @property
-    def num_groups(self) -> int:
-        return max(self.num_dn_queries // self.max_gt, 1)
+    # static stand-in for the reference's runtime ``single_pad =
+    # max(known_num)``; None = max_gt (legacy single-group behavior)
+    dn_max_gt: Optional[int] = None
 
     @property
     def single_pad(self) -> int:
-        return self.max_gt
+        return self.dn_max_gt or self.max_gt
+
+    @property
+    def num_groups(self) -> int:
+        return max(self.num_dn_queries // self.single_pad, 1)
 
     @property
     def pad_size(self) -> int:
         return 2 * self.single_pad * self.num_groups
+
+
+def _to_dn_slots(x: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Map (B, max_gt, ...) GT arrays to the S = single_pad DN slot width
+    (slice when S < max_gt — valid GTs are front-packed by the collate —
+    pad with zeros/False when S > max_gt)."""
+    G = x.shape[1]
+    if S == G:
+        return x
+    if S < G:
+        return x[:, :S]
+    pad = [(0, 0), (0, S - G)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pad)
 
 
 def cdn_self_attn_mask(cfg: CdnConfig) -> np.ndarray:
@@ -76,7 +106,8 @@ def generate_cdn_queries(rng: jax.Array,
                          gt_labels: jnp.ndarray,
                          gt_valid: jnp.ndarray,
                          label_embedding: jnp.ndarray,
-                         cfg: CdnConfig
+                         cfg: CdnConfig,
+                         noise: Optional[Dict[str, jnp.ndarray]] = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build noised DN label/bbox queries.
 
@@ -85,37 +116,50 @@ def generate_cdn_queries(rng: jax.Array,
         gt_labels: (B, G) int32 (arbitrary at invalid slots).
         gt_valid: (B, G) bool.
         label_embedding: (num_classes, C).
+        noise: optional pre-drawn noise (for parity tests): keys
+            ``p``/``new_label`` (B, blocks, S) and ``sign``/``part``
+            (B, blocks, S, 4) replacing the rng draws.
     Returns:
         dn_label_query (B, pad_size, C), dn_bbox_query (B, pad_size, 4)
         (unsigmoided; zero at invalid slots, like the reference's padding).
     """
     B, G, _ = gt_bboxes_cxcywh_norm.shape
     assert G == cfg.max_gt
+    S = cfg.single_pad
     ng = cfg.num_groups
     blocks = 2 * ng
     k_label, k_newlab, k_sign, k_part = jax.random.split(rng, 4)
 
-    # (B, blocks, G, ...) replicated GTs
-    labels = jnp.broadcast_to(gt_labels[:, None, :], (B, blocks, G))
-    boxes = jnp.broadcast_to(gt_bboxes_cxcywh_norm[:, None, :, :],
-                             (B, blocks, G, 4))
-    valid = jnp.broadcast_to(gt_valid[:, None, :], (B, blocks, G))
+    gt_boxes = _to_dn_slots(gt_bboxes_cxcywh_norm, S)
+    gt_labels = _to_dn_slots(gt_labels, S)
+    gt_valid = _to_dn_slots(gt_valid, S)
+
+    # (B, blocks, S, ...) replicated GTs
+    labels = jnp.broadcast_to(gt_labels[:, None, :], (B, blocks, S))
+    boxes = jnp.broadcast_to(gt_boxes[:, None, :, :], (B, blocks, S, 4))
+    valid = jnp.broadcast_to(gt_valid[:, None, :], (B, blocks, S))
 
     # --- label noise -------------------------------------------------------
     if cfg.label_noise_scale > 0:
-        p = jax.random.uniform(k_label, (B, blocks, G))
-        new_label = jax.random.randint(k_newlab, (B, blocks, G), 0,
-                                       cfg.num_classes)
+        if noise is not None:
+            p, new_label = noise["p"], noise["new_label"]
+        else:
+            p = jax.random.uniform(k_label, (B, blocks, S))
+            new_label = jax.random.randint(k_newlab, (B, blocks, S), 0,
+                                           cfg.num_classes)
         labels = jnp.where(p < cfg.label_noise_scale * 0.5, new_label,
                            labels)
 
     # --- box noise ---------------------------------------------------------
     if cfg.box_noise_scale > 0:
-        corners = bbox_cxcywh_to_xyxy(boxes)                   # (B,bl,G,4)
+        corners = bbox_cxcywh_to_xyxy(boxes)                   # (B,bl,S,4)
         half = boxes[..., 2:] * 0.5
         diff = jnp.concatenate([half, half], axis=-1)
-        sign = jax.random.randint(k_sign, corners.shape, 0, 2) * 2.0 - 1.0
-        part = jax.random.uniform(k_part, corners.shape)
+        if noise is not None:
+            sign, part = noise["sign"], noise["part"]
+        else:
+            sign = jax.random.randint(k_sign, corners.shape, 0, 2) * 2.0 - 1.0
+            part = jax.random.uniform(k_part, corners.shape)
         # negative blocks (odd block index) get the extra push
         is_neg = (jnp.arange(blocks) % 2 == 1).astype(jnp.float32)
         part = part + is_neg[None, :, None, None]
@@ -124,7 +168,7 @@ def generate_cdn_queries(rng: jax.Array,
         boxes = bbox_xyxy_to_cxcywh(corners)
 
     safe_labels = jnp.clip(labels, 0, cfg.num_classes - 1)
-    label_q = label_embedding[safe_labels]                     # (B,bl,G,C)
+    label_q = label_embedding[safe_labels]                     # (B,bl,S,C)
     bbox_q = inverse_sigmoid(boxes, eps=1e-3)
     vmask = valid[..., None]
     label_q = jnp.where(vmask, label_q, 0.0)
@@ -140,28 +184,33 @@ def cdn_targets(gt_bboxes_cxcywh_norm: jnp.ndarray,
                 gt_valid: jnp.ndarray,
                 cfg: CdnConfig):
     """DN loss targets over the pad_size slots (reference
-    _get_dn_target_single semantics, vectorized, static).
+    _get_dn_target_single semantics — dino_head.py:323-368 — vectorized,
+    static).
 
     Returns dict with labels (B, P), label_weights (B, P),
     bbox_targets (B, P, 4), bbox_weights (B, P, 4), num_pos (scalar).
     """
     B, G, _ = gt_bboxes_cxcywh_norm.shape
+    S = cfg.single_pad
     blocks = 2 * cfg.num_groups
+    gt_boxes = _to_dn_slots(gt_bboxes_cxcywh_norm, S)
+    gt_labels = _to_dn_slots(gt_labels, S)
+    gt_valid = _to_dn_slots(gt_valid, S)
+
     # slot (block j, offset i): positive iff j even and gt i valid
     is_pos_block = (jnp.arange(blocks) % 2 == 0)
-    valid = jnp.broadcast_to(gt_valid[:, None, :], (B, blocks, G))
+    valid = jnp.broadcast_to(gt_valid[:, None, :], (B, blocks, S))
     pos = valid & is_pos_block[None, :, None]
 
     labels = jnp.where(pos,
                        jnp.broadcast_to(gt_labels[:, None, :],
-                                        (B, blocks, G)),
+                                        (B, blocks, S)),
                        cfg.num_classes)
-    label_weights = jnp.ones((B, blocks, G), jnp.float32)
-    boxes = jnp.broadcast_to(gt_bboxes_cxcywh_norm[:, None, :, :],
-                             (B, blocks, G, 4))
+    label_weights = jnp.ones((B, blocks, S), jnp.float32)
+    boxes = jnp.broadcast_to(gt_boxes[:, None, :, :], (B, blocks, S, 4))
     bbox_targets = jnp.where(pos[..., None], boxes, 0.0)
     bbox_weights = jnp.broadcast_to(
-        pos[..., None].astype(jnp.float32), (B, blocks, G, 4))
+        pos[..., None].astype(jnp.float32), (B, blocks, S, 4))
 
     P = cfg.pad_size
     num_pos = jnp.sum(gt_valid.astype(jnp.float32)) * cfg.num_groups

@@ -1,0 +1,281 @@
+"""CDN parity vs a numpy transliteration of the reference generator.
+
+The reference ``CdnQueryGenerator``
+(/root/reference/models/multi/bbox_head/query_denoising.py:94-201) and
+``_get_dn_target_single`` (/root/reference/models/multi/bbox_head/
+dino_head.py:323-368) are transliterated below in numpy with INJECTABLE
+noise arrays; the repo's static-shape ``generate_cdn_queries``/
+``cdn_targets`` are driven with the same noise (mapped between the
+reference's flattened known-GT layout and our (B, blocks, S) layout) and
+must reproduce queries, attention mask, group structure and loss targets
+exactly when ``dn_max_gt`` equals the batch's max GT count.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rscotr_tpu.models.heads.cdn import (CdnConfig, cdn_self_attn_mask,
+                                         cdn_targets, generate_cdn_queries)
+
+
+def _inv_sigmoid_np(x, eps=1e-3):
+    x = np.clip(x, 0.0, 1.0)
+    return np.log(np.clip(x, eps, None)) - np.log(np.clip(1.0 - x, eps,
+                                                          None))
+
+
+def ref_get_num_groups(num_dn, group_queries):
+    """query_denoising.py:36-53 (dynamic branch)."""
+    if group_queries == 0:
+        num_groups = 1
+    else:
+        num_groups = num_dn // group_queries
+    return max(int(num_groups), 1)
+
+
+def ref_cdn_generator(gt_boxes_norm_list, gt_labels_list, num_classes,
+                      num_queries, num_dn, label_embedding,
+                      p_flat, new_label_flat, sign_flat, part_flat,
+                      label_noise_scale=0.5, box_noise_scale=1.0):
+    """Numpy transliteration of query_denoising.py:94-201 (noise injected:
+    ``p``/``new_label`` per known-GT copy, ``sign``/``part`` (N, 4))."""
+    B = len(gt_labels_list)
+    known_num = [len(l) for l in gt_labels_list]
+    num_groups = ref_get_num_groups(num_dn, int(max(known_num)))
+
+    labels = np.concatenate(gt_labels_list)
+    boxes = np.concatenate(gt_boxes_norm_list, axis=0)
+    batch_idx = np.concatenate(
+        [np.full(len(l), i, np.int64) for i, l in enumerate(gt_labels_list)])
+
+    known_labels = np.tile(labels, 2 * num_groups)
+    known_bid = np.tile(batch_idx, 2 * num_groups)
+    known_bboxs = np.tile(boxes, (2 * num_groups, 1))
+    known_labels_expand = known_labels.copy()
+
+    chosen = p_flat < (label_noise_scale * 0.5)
+    known_labels_expand[chosen] = new_label_flat[chosen]
+
+    single_pad = int(max(known_num))
+    pad_size = int(single_pad * 2 * num_groups)
+    positive_idx = (np.arange(len(boxes))[None, :] +
+                    (np.arange(num_groups) * len(boxes) * 2)[:, None]
+                    ).flatten()
+    negative_idx = positive_idx + len(boxes)
+
+    known_bbox_ = np.zeros_like(known_bboxs)
+    known_bbox_[:, :2] = known_bboxs[:, :2] - known_bboxs[:, 2:] / 2
+    known_bbox_[:, 2:] = known_bboxs[:, :2] + known_bboxs[:, 2:] / 2
+    diff = np.zeros_like(known_bboxs)
+    diff[:, :2] = known_bboxs[:, 2:] / 2
+    diff[:, 2:] = known_bboxs[:, 2:] / 2
+    rand_part = part_flat.copy()
+    rand_part[negative_idx] += 1.0
+    rand_part *= sign_flat
+    known_bbox_ += rand_part * diff * box_noise_scale
+    known_bbox_ = np.clip(known_bbox_, 0.0, 1.0)
+    known_bbox_expand = np.zeros_like(known_bbox_)
+    known_bbox_expand[:, :2] = (known_bbox_[:, :2] + known_bbox_[:, 2:]) / 2
+    known_bbox_expand[:, 2:] = known_bbox_[:, 2:] - known_bbox_[:, :2]
+
+    input_label_embed = label_embedding[known_labels_expand]
+    input_bbox_embed = _inv_sigmoid_np(known_bbox_expand)
+
+    C = label_embedding.shape[-1]
+    iq_label = np.zeros((B, pad_size, C), np.float32)
+    iq_bbox = np.zeros((B, pad_size, 4), np.float32)
+    map_known = np.concatenate([np.arange(n) for n in known_num])
+    map_known = np.concatenate(
+        [map_known + single_pad * i for i in range(2 * num_groups)])
+    iq_label[known_bid, map_known] = input_label_embed
+    iq_bbox[known_bid, map_known] = input_bbox_embed
+
+    tgt = pad_size + num_queries
+    attn_mask = np.zeros((tgt, tgt), bool)
+    attn_mask[pad_size:, :pad_size] = True
+    for i in range(num_groups):
+        attn_mask[single_pad * 2 * i:single_pad * 2 * (i + 1),
+                  single_pad * 2 * (i + 1):pad_size] = True
+        attn_mask[single_pad * 2 * i:single_pad * 2 * (i + 1),
+                  :single_pad * 2 * i] = True
+    return iq_label, iq_bbox, attn_mask, dict(pad_size=pad_size,
+                                              num_dn_group=num_groups)
+
+
+def ref_dn_target_single(gt_boxes_norm, gt_labels, num_classes, dn_meta):
+    """Numpy transliteration of dino_head.py:323-368 (boxes already
+    normalized cxcywh so the factor rescale is identity)."""
+    num_groups = dn_meta["num_dn_group"]
+    pad_size = dn_meta["pad_size"]
+    single_pad = pad_size // num_groups          # NB: 2x generator's S
+    n = len(gt_labels)
+    if n > 0:
+        t = np.tile(np.arange(n)[None, :], (num_groups, 1))
+        pos_assigned = t.flatten()
+        pos_inds = ((np.arange(num_groups) * single_pad)[:, None] +
+                    t).flatten()
+    else:
+        pos_inds = pos_assigned = np.zeros((0,), np.int64)
+    labels = np.full((pad_size,), num_classes, np.int64)
+    labels[pos_inds] = gt_labels[pos_assigned]
+    label_weights = np.ones((pad_size,), np.float32)
+    bbox_targets = np.zeros((pad_size, 4), np.float32)
+    bbox_weights = np.zeros((pad_size, 4), np.float32)
+    bbox_weights[pos_inds] = 1.0
+    bbox_targets[pos_inds] = np.tile(gt_boxes_norm, (num_groups, 1))
+    return labels, label_weights, bbox_targets, bbox_weights, len(pos_inds)
+
+
+def _make_batch(rng, known_num, num_classes, max_gt):
+    """Ragged GTs + their (B, max_gt) padded mirror."""
+    B = len(known_num)
+    boxes_list, labels_list = [], []
+    gt_boxes = np.zeros((B, max_gt, 4), np.float32)
+    gt_labels = np.zeros((B, max_gt), np.int32)
+    gt_valid = np.zeros((B, max_gt), bool)
+    for b, n in enumerate(known_num):
+        cxcy = rng.uniform(0.3, 0.7, (n, 2)).astype(np.float32)
+        wh = rng.uniform(0.05, 0.3, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([cxcy, wh], -1)
+        labels = rng.integers(0, num_classes, n).astype(np.int32)
+        boxes_list.append(boxes)
+        labels_list.append(labels)
+        gt_boxes[b, :n] = boxes
+        gt_labels[b, :n] = labels
+        gt_valid[b, :n] = True
+    return boxes_list, labels_list, gt_boxes, gt_labels, gt_valid
+
+
+def _flat_noise_to_bjs(flat, known_num, blocks, S):
+    """Reference flat layout (block-major, images concatenated) ->
+    (B, blocks, S, ...) with zeros at padded slots."""
+    B = len(known_num)
+    total = sum(known_num)
+    offs = np.cumsum([0] + known_num[:-1])
+    out = np.zeros((B, blocks, S) + flat.shape[1:], flat.dtype)
+    for j in range(blocks):
+        for b, n in enumerate(known_num):
+            out[b, j, :n] = flat[j * total + offs[b]:
+                                 j * total + offs[b] + n]
+    return out
+
+
+class TestCdnReferenceParity:
+    NUM_CLASSES = 7
+    NUM_QUERIES = 9
+    NUM_DN = 12
+    KNOWN = [3, 5]        # reference single_pad = 5 -> 2 groups, pad 20
+    MAX_GT = 8            # loss-padding cap (> batch max)
+
+    def _cfg(self):
+        return CdnConfig(num_classes=self.NUM_CLASSES,
+                         num_queries=self.NUM_QUERIES,
+                         max_gt=self.MAX_GT,
+                         num_dn_queries=self.NUM_DN,
+                         dn_max_gt=max(self.KNOWN))
+
+    def test_group_structure_matches_reference(self):
+        cfg = self._cfg()
+        ref_ng = ref_get_num_groups(self.NUM_DN, max(self.KNOWN))
+        assert cfg.num_groups == ref_ng == 2
+        assert cfg.single_pad == max(self.KNOWN)
+        assert cfg.pad_size == 2 * max(self.KNOWN) * ref_ng
+
+    def test_density_at_flagship_settings(self):
+        """The round-1 gap: flagship (max_gt=100, num_dn=100) must give the
+        reference's ~5 groups for <=20-GT images, not 1."""
+        cfg = CdnConfig(num_classes=20, num_queries=600, max_gt=100,
+                        num_dn_queries=100, dn_max_gt=20)
+        assert cfg.num_groups == 5 == ref_get_num_groups(100, 20)
+        assert cfg.pad_size == 200  # unchanged vs the old single group
+
+    def test_queries_mask_and_targets_match_reference(self):
+        rng = np.random.default_rng(0)
+        cfg = self._cfg()
+        S, ng, blocks = cfg.single_pad, cfg.num_groups, 2 * cfg.num_groups
+        boxes_list, labels_list, gt_boxes, gt_labels, gt_valid = \
+            _make_batch(rng, self.KNOWN, self.NUM_CLASSES, self.MAX_GT)
+        emb = rng.standard_normal(
+            (self.NUM_CLASSES, 16)).astype(np.float32)
+
+        total = sum(self.KNOWN) * blocks
+        p_flat = rng.uniform(0, 1, total).astype(np.float32)
+        new_flat = rng.integers(0, self.NUM_CLASSES, total)
+        sign_flat = (rng.integers(0, 2, (total, 4)) * 2 - 1
+                     ).astype(np.float32)
+        part_flat = rng.uniform(0, 1, (total, 4)).astype(np.float32)
+
+        ref_l, ref_b, ref_mask, dn_meta = ref_cdn_generator(
+            boxes_list, labels_list, self.NUM_CLASSES, self.NUM_QUERIES,
+            self.NUM_DN, emb, p_flat, new_flat, sign_flat, part_flat)
+        assert dn_meta["pad_size"] == cfg.pad_size
+        assert dn_meta["num_dn_group"] == cfg.num_groups
+
+        noise = dict(
+            p=jnp.asarray(_flat_noise_to_bjs(p_flat, self.KNOWN, blocks, S)),
+            new_label=jnp.asarray(_flat_noise_to_bjs(
+                new_flat.astype(np.int32), self.KNOWN, blocks, S)),
+            sign=jnp.asarray(_flat_noise_to_bjs(
+                sign_flat, self.KNOWN, blocks, S)),
+            part=jnp.asarray(_flat_noise_to_bjs(
+                part_flat, self.KNOWN, blocks, S)))
+        import jax
+        got_l, got_b = generate_cdn_queries(
+            jax.random.key(0), jnp.asarray(gt_boxes),
+            jnp.asarray(gt_labels), jnp.asarray(gt_valid),
+            jnp.asarray(emb), cfg, noise=noise)
+        np.testing.assert_allclose(np.asarray(got_l), ref_l, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_b), ref_b, atol=1e-5)
+
+        got_mask = cdn_self_attn_mask(cfg)
+        np.testing.assert_array_equal(got_mask, ref_mask)
+
+        # loss targets
+        t = cdn_targets(jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                        jnp.asarray(gt_valid), cfg)
+        num_pos_ref = 0
+        for b in range(len(self.KNOWN)):
+            rl, rlw, rbt, rbw, npos = ref_dn_target_single(
+                boxes_list[b], labels_list[b], self.NUM_CLASSES, dn_meta)
+            num_pos_ref += npos
+            np.testing.assert_array_equal(np.asarray(t["labels"])[b], rl)
+            np.testing.assert_array_equal(
+                np.asarray(t["label_weights"])[b], rlw)
+            np.testing.assert_allclose(
+                np.asarray(t["bbox_targets"])[b], rbt, atol=1e-6)
+            np.testing.assert_array_equal(
+                np.asarray(t["bbox_weights"])[b], rbw)
+        assert float(t["num_pos"]) == num_pos_ref
+
+    def test_per_gt_supervision_counts(self):
+        """Each valid GT (within dn_max_gt) gets num_groups positives and
+        num_groups negatives — the reference's density (VERDICT Weak #1)."""
+        cfg = self._cfg()
+        rng = np.random.default_rng(1)
+        _, _, gt_boxes, gt_labels, gt_valid = _make_batch(
+            rng, self.KNOWN, self.NUM_CLASSES, self.MAX_GT)
+        t = cdn_targets(jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                        jnp.asarray(gt_valid), cfg)
+        w = np.asarray(t["bbox_weights"])[..., 0]          # (B, P)
+        for b, n in enumerate(self.KNOWN):
+            assert w[b].sum() == n * cfg.num_groups
+
+    def test_dn_max_gt_caps_oversized_images(self):
+        """Images with more GTs than dn_max_gt: only the first dn_max_gt
+        take part in DN (static-shape compromise, documented)."""
+        cfg = CdnConfig(num_classes=4, num_queries=6, max_gt=6,
+                        num_dn_queries=4, dn_max_gt=2)
+        gt_boxes = np.full((1, 6, 4), 0.5, np.float32)
+        gt_labels = np.zeros((1, 6), np.int32)
+        gt_valid = np.ones((1, 6), bool)
+        t = cdn_targets(jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                        jnp.asarray(gt_valid), cfg)
+        assert float(t["num_pos"]) == 2 * cfg.num_groups
+
+    def test_legacy_default_unchanged(self):
+        cfg = CdnConfig(num_classes=5, num_queries=6, max_gt=10,
+                        num_dn_queries=10)
+        assert cfg.single_pad == 10 and cfg.num_groups == 1
+        assert cfg.pad_size == 20
