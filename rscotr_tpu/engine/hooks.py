@@ -60,7 +60,11 @@ class LogHook(Hook):
 class CheckpointHook(Hook):
     """``max_keep_ckpts``: mmcv CheckpointHook semantics — keep only the
     newest N ``iter_*`` checkpoints (-1 = keep all); ``best_checkpoint``
-    (written by MultiDatasetsEvalHook) is never touched."""
+    (written by MultiDatasetsEvalHook) is never touched. Save + prune run
+    on process 0 only (multi-host shares one work_dir); prune never touches
+    checkpoints AHEAD of the current step (stale higher-numbered dirs from
+    a previous run sharing the work_dir survive — mmcv deletes only its own
+    interval-aligned saves, this is the equivalent guard)."""
     priority = 70
 
     def __init__(self, interval: int = 100000, work_dir: str = "work_dir",
@@ -70,7 +74,7 @@ class CheckpointHook(Hook):
         self.meta = meta or {}
         self.max_keep_ckpts = max_keep_ckpts
 
-    def _prune(self) -> None:
+    def _prune(self, current_step: int) -> None:
         if self.max_keep_ckpts <= 0:
             return
         import re
@@ -78,18 +82,25 @@ class CheckpointHook(Hook):
         steps = []
         for d in os.listdir(self.work_dir):
             m = re.fullmatch(r"iter_(\d+)", d)
-            if m and os.path.isdir(os.path.join(self.work_dir, d)):
+            if m and os.path.isdir(os.path.join(self.work_dir, d)) and \
+                    int(m.group(1)) <= current_step:
                 steps.append(int(m.group(1)))
         for s in sorted(steps)[:-self.max_keep_ckpts]:
-            shutil.rmtree(os.path.join(self.work_dir, f"iter_{s}"),
-                          ignore_errors=True)
+            try:
+                shutil.rmtree(os.path.join(self.work_dir, f"iter_{s}"))
+            except OSError:
+                get_root_logger().exception(
+                    "checkpoint prune failed for iter_%d", s)
 
     def after_train_iter(self, runner) -> None:
         if runner.step % self.interval == 0 or \
                 runner.step == runner.max_iters:
+            import jax
+            if jax.process_index() != 0:
+                return
             save_checkpoint(self.work_dir, runner.step, runner.params,
                             runner.opt_state, meta=self.meta)
-            self._prune()
+            self._prune(runner.step)
 
 
 class KeyIndicator:
@@ -138,9 +149,12 @@ class MultiDatasetsEvalHook(Hook):
             score = self.indicator(metrics)
             if score > self.best_score:
                 self.best_score = score
-                save_checkpoint(self.work_dir, runner.step, runner.params,
-                                meta={"best_score": score,
-                                      "metrics": metrics},
-                                name="best_checkpoint")
+                import jax
+                if jax.process_index() == 0:
+                    save_checkpoint(self.work_dir, runner.step,
+                                    runner.params,
+                                    meta={"best_score": score,
+                                          "metrics": metrics},
+                                    name="best_checkpoint")
                 self.logger.info("new best score %.4f @ iter %d", score,
                                  runner.step)

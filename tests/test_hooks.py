@@ -30,6 +30,23 @@ class TestCheckpointHookMaxKeep:
         latest = find_latest_checkpoint(wd)
         assert latest and latest.endswith("iter_4")
 
+    def test_prune_spares_checkpoints_ahead_of_current_step(self, tmp_path):
+        """Stale higher-numbered checkpoints from a previous run sharing the
+        work_dir are never deleted (only steps <= the current run's step
+        are prune candidates)."""
+        from rscotr_tpu.engine import CheckpointHook, save_checkpoint
+        wd = str(tmp_path / "wd")
+        params = {"w": np.zeros(3, np.float32)}
+        save_checkpoint(wd, 50, params)   # stale leftover, "future" step
+        hook = CheckpointHook(interval=1, work_dir=wd, max_keep_ckpts=1)
+        runner = types.SimpleNamespace(params=params, opt_state=None,
+                                       max_iters=100)
+        for step in (1, 2):
+            runner.step = step
+            hook.after_train_iter(runner)
+        kept = sorted(d for d in os.listdir(wd) if d.startswith("iter_"))
+        assert kept == ["iter_2", "iter_50"]
+
     def test_default_keeps_all(self, tmp_path):
         from rscotr_tpu.engine import CheckpointHook
         wd = str(tmp_path / "wd")
