@@ -10,11 +10,13 @@ are padded up to the batch size and the padding results dropped host-side.
 Passing a ``mesh`` shards each eval batch over the mesh's data axis
 (data-parallel inference; the reference's multi-GPU eval exists in
 mtl/engine/test.py:41-53 but its training-time variant raises
-NotImplementedError — mtl/apis/train.py:100-101). Seg predictions are
-cropped to the un-padded shape and resized to ``ori_shape``
-(multitask_learner.py:217-227; host-side nearest on label maps — the
-reference resizes logits bilinearly before argmax, identical away from
-class boundaries).
+NotImplementedError — mtl/apis/train.py:100-101). Seg eval follows the
+reference exactly (multitask_learner.py:171-195,217-227): f32 logits come
+back from the device at the padded input resolution, are cropped to the
+un-padded ``img_shape`` and bilinearly resized (half-pixel centers, the
+``align_corners=False`` convention of the reference configs) to
+``ori_shape`` BEFORE the argmax — class boundaries land where the
+reference puts them.
 """
 
 from __future__ import annotations
@@ -40,7 +42,8 @@ def _pad_batch(batch: Dict[str, np.ndarray], bs: int):
 
 
 def _resize_labels_nearest(p: np.ndarray, hw) -> np.ndarray:
-    """Nearest-neighbor resize of an (H, W) integer label map."""
+    """Nearest-neighbor resize of an (H, W) integer label map (fallback
+    path for cached label-map outputs only — live eval resizes logits)."""
     H, W = p.shape
     h, w = int(hw[0]), int(hw[1])
     if (h, w) == (H, W):
@@ -49,6 +52,29 @@ def _resize_labels_nearest(p: np.ndarray, hw) -> np.ndarray:
     xs = np.clip((np.arange(w) + 0.5) * W / w - 0.5, 0, W - 1)
     return p[np.round(ys).astype(int)[:, None],
              np.round(xs).astype(int)[None, :]]
+
+
+def _resize_bilinear_np(x: np.ndarray, hw) -> np.ndarray:
+    """Bilinear resize of (H, W, C) float logits with half-pixel centers
+    and edge clamping — the exact sampling grid of
+    ``F.interpolate(..., mode='bilinear', align_corners=False)`` that the
+    reference's mmcv ``resize`` uses (multitask_learner.py:175-194,
+    configs set align_corners=False)."""
+    H, W, _ = x.shape
+    h, w = int(hw[0]), int(hw[1])
+    if (h, w) == (H, W):
+        return x
+    ys = np.clip((np.arange(h) + 0.5) * H / h - 0.5, 0, H - 1)
+    xs = np.clip((np.arange(w) + 0.5) * W / w - 0.5, 0, W - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = (ys - y0).astype(x.dtype)[:, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, :, None]
+    top = x[y0][:, x0] * (1 - wx) + x[y0][:, x1] * wx
+    bot = x[y1][:, x0] * (1 - wx) + x[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 def single_device_test(infer_steps: Dict[str, Callable], params,
@@ -122,16 +148,30 @@ def _strided_test(infer_steps: Dict[str, Callable], params,
                                  for c in range(K)]
                     out.append((base + i, per_class))
             elif task == "seg":
-                preds = np.asarray(step(params, batch["img"]))
+                # reference order (multitask_learner.py:171-195): logits ->
+                # crop padding -> bilinear resize to ori_shape -> argmax
+                logits_step = infer_steps.get("seg_logits")
                 hw = batch.get("img_hw")
                 ori = batch.get("ori_hw")
-                for i in range(valid):
-                    p = preds[i]
-                    if hw is not None:
-                        p = p[:hw[i, 0], :hw[i, 1]]
-                    if ori is not None:
-                        p = _resize_labels_nearest(p, np.asarray(ori[i]))
-                    out.append((base + i, p.astype(np.int32)))
+                if logits_step is not None:
+                    logits = np.asarray(logits_step(params, batch["img"]))
+                    for i in range(valid):
+                        lg = logits[i]
+                        if hw is not None:
+                            lg = lg[:hw[i, 0], :hw[i, 1]]
+                        if ori is not None:
+                            lg = _resize_bilinear_np(lg, np.asarray(ori[i]))
+                        out.append((base + i,
+                                    lg.argmax(-1).astype(np.int32)))
+                else:   # label-map-only step (legacy/exported artifacts)
+                    preds = np.asarray(step(params, batch["img"]))
+                    for i in range(valid):
+                        p = preds[i]
+                        if hw is not None:
+                            p = p[:hw[i, 0], :hw[i, 1]]
+                        if ori is not None:
+                            p = _resize_labels_nearest(p, np.asarray(ori[i]))
+                        out.append((base + i, p.astype(np.int32)))
         results[name] = out
         logger.info("evaluated %s: %d samples%s", name, len(out),
                     f" (process {offset}/{stride})" if stride > 1 else "")

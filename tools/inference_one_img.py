@@ -26,10 +26,8 @@ from rscotr_tpu.config import Config, DictAction
 from rscotr_tpu.data import collate_cls, collate_det, collate_seg, \
     load_data_cfg
 from rscotr_tpu.data.pipelines import build_pipeline, run_pipeline
-from rscotr_tpu.utils import get_root_logger
-
-PALETTE = [(255, 255, 255), (0, 0, 255), (0, 255, 255), (0, 255, 0),
-           (255, 255, 0), (255, 0, 0)]
+from rscotr_tpu.utils import (draw_det_results, draw_seg_results,
+                              get_root_logger)
 
 
 def parse_args(argv=None):
@@ -41,30 +39,6 @@ def parse_args(argv=None):
     p.add_argument("--score-thr", type=float, default=0.3)
     p.add_argument("--cfg-options", nargs="+", action=DictAction.action())
     return p.parse_args(argv)
-
-
-def draw_det_results(img, det, labels, classes, score_thr, out_path):
-    from PIL import Image, ImageDraw
-    im = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
-    d = ImageDraw.Draw(im)
-    for box, lab in zip(det, labels):
-        if box[4] < score_thr:
-            continue
-        x1, y1, x2, y2 = [float(v) for v in box[:4]]
-        d.rectangle([x1, y1, x2, y2], outline=(255, 0, 0), width=2)
-        d.text((x1, max(y1 - 12, 0)),
-               f"{classes[int(lab)]}:{box[4]:.2f}", fill=(255, 0, 0))
-    im.save(out_path)
-
-
-def draw_seg_results(img, seg, out_path, alpha=0.5):
-    from PIL import Image
-    color = np.zeros((*seg.shape, 3), np.uint8)
-    for ci, c in enumerate(PALETTE):
-        color[seg == ci] = c
-    blend = (img[:seg.shape[0], :seg.shape[1]] * (1 - alpha) +
-             color * alpha)
-    Image.fromarray(np.clip(blend, 0, 255).astype(np.uint8)).save(out_path)
 
 
 def main(argv=None):

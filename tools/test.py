@@ -34,6 +34,13 @@ def parse_args(argv=None):
     p.add_argument("--out", help="dump raw outputs pickle")
     p.add_argument("--test_outputs", help="reuse cached raw outputs pickle")
     p.add_argument("--eval-out", help="metrics json path")
+    p.add_argument("--show", action="store_true",
+                   help="paint results (headless: saves into --show-dir, "
+                        "default <work_dir>/painted)")
+    p.add_argument("--show-dir",
+                   help="directory where painted images will be saved")
+    p.add_argument("--show-score-thr", type=float, default=0.3,
+                   help="det score threshold for painted boxes")
     p.add_argument("--max-batches", type=int, default=0)
     p.add_argument("--cfg-options", nargs="+", action=DictAction.action())
     return p.parse_args(argv)
@@ -87,6 +94,16 @@ def main(argv=None):
         if args.out:
             with open(args.out, "wb") as f:
                 pickle.dump(results, f)
+
+    if args.show or args.show_dir:
+        # reference tools/test.py:54-56,184 -> single_gpu_test(show,
+        # show_dir) -> MTL.show_result; headless TPU hosts always paint
+        # to disk
+        from rscotr_tpu.utils import save_eval_visualizations
+        show_dir = args.show_dir or "painted"
+        n = save_eval_visualizations(datasets, results, show_dir,
+                                     score_thr=args.show_score_thr)
+        logger.info("painted %d result images into %s", n, show_dir)
 
     eval_kwargs = {t: dict(cfg.get("evaluation", {}).get(t, {}))
                    for t in ("cls", "det", "seg")}
