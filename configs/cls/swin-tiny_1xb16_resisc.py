@@ -1,9 +1,8 @@
 # Single-task RESISC45 classification with Swin-T (reference:
 # configs/cls/swin-tiny_1xb16_resisc.py, same _base_ composition). Uses
 # the MTL model with only the cls head configured, so the same runtime
-# drives it. Deviation: our runner is iter-based (the reference's
-# EpochBasedRunner 200 epochs x ~308 iters/epoch maps onto the step/iter
-# numbers below).
+# drives it. Epoch-based schedule kept verbatim from the reference;
+# apis.resolve_schedule converts epochs -> iters from the loader length.
 _base_ = [
     "../_base_/cls/swin-tiny.py",
     "../_base_/cls/resisc_adamw_swin.py",
@@ -24,13 +23,14 @@ data = dict(
                 loader=dict(cls_size=224)),
 )
 
-checkpoint_config = dict(interval=5000)
+checkpoint_config = dict(interval=50)
 optimizer = dict(_delete_=True, type="AdamW", lr=1e-4, weight_decay=0.05,
                  paramwise_cfg=dict(custom_keys={
                      "backbone": dict(lr_mult=1.0)}))
 optimizer_config = dict(grad_clip=dict(max_norm=5.0))
-lr_config = dict(_delete_=True, policy="step", step=[60000, 80000])
-runner = dict(type="IterBasedRunner", max_iters=90000)
-evaluation = dict(interval=5000,
+# reference swin-tiny_1xb16_resisc.py:19-22 verbatim (epochs)
+lr_config = dict(_delete_=True, policy="step", step=[150])
+runner = dict(type="EpochBasedRunner", max_epochs=200)
+evaluation = dict(interval=1,
                   save_best={"resisc.accuracy_top-1": 1},
                   cls=dict(metric="accuracy"))

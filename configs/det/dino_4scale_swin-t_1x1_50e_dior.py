@@ -28,8 +28,12 @@ data = dict(
 optimizer = dict(type="AdamW", lr=1e-4, weight_decay=0.0001,
                  paramwise_cfg=dict(custom_keys={
                      "backbone": dict(lr_mult=0.1)}))
-lr_config = dict(policy="step", step=[380000])
-runner = dict(type="IterBasedRunner", max_iters=470000)  # ~50 epochs at bs 1
-evaluation = dict(interval=10000,
-                  save_best={"dior.bbox_mAP": 1},
+# reference schedule verbatim (dino_4scale_r50_1x1_50e_dior.py:191-192 +
+# _base_/det/dior.py:57-62, _base_/det/default_runtime.py:1): epoch-based;
+# apis.resolve_schedule converts epochs -> iters from the loader length
+lr_config = dict(policy="step", step=[45])
+runner = dict(type="EpochBasedRunner", max_epochs=50)
+checkpoint_config = dict(interval=5)
+evaluation = dict(interval=1,
+                  save_best={"dior.bbox_mAP_50": 1},
                   det=dict(metric="bbox", iou_thrs=[0.5], classwise=True))

@@ -64,13 +64,19 @@ def make_step_config(cfg) -> TrainStepConfig:
         for entry in cfg.data.values():
             if entry["task"] == "det":
                 max_gt = dict(entry.get("loader", {})).get("max_gt", 100)
+        # dn_max_gt: static stand-in for the reference's runtime
+        # ``single_pad = max(batch GT count)`` (query_denoising.py:97,121).
+        # Default 20 ~ the typical DIOR per-image GT ceiling -> 5 DN groups
+        # at num_dn_queries=100 (reference supervision density); clamped to
+        # max_gt so tiny test configs keep their shapes.
         cdn_cfg = CdnConfig(
             num_classes=bh.get("num_classes", 20),
             num_queries=bh.get("num_query", 600),
             max_gt=max_gt,
             num_dn_queries=gc.get("num_dn_queries", 100) or 100,
             label_noise_scale=ns.get("label", 0.5),
-            box_noise_scale=ns.get("box", 1.0))
+            box_noise_scale=ns.get("box", 1.0),
+            dn_max_gt=min(gc.get("dn_max_gt", 20), max_gt))
         lc = bh.get("loss_cls", {}) or {}
         lb = bh.get("loss_bbox", {}) or {}
         li = bh.get("loss_iou", {}) or {}
@@ -208,6 +214,52 @@ def make_eval_fn(cfg, model, max_per_img: int = 300,
     return eval_fn
 
 
+def resolve_schedule(cfg, epoch_len: int,
+                     max_iters_override: Optional[int] = None) -> dict:
+    """Resolve the training schedule from either runner flavor.
+
+    ``runner=dict(type='IterBasedRunner', max_iters=N)`` passes through.
+    ``runner=dict(type='EpochBasedRunner', max_epochs=N)`` (the reference's
+    single-task det 50e / cls 200e configs —
+    /root/reference/configs/det/dino_4scale_r50_1x1_50e_dior.py:192,
+    runner build /root/reference/mtl/apis/train.py:54-61) converts
+    epochs -> iters at build time from the loader length: the TPU hot loop
+    stays ONE iter-based jitted step, mmcv's epoch semantics (by_epoch LR
+    steps, checkpoint/eval intervals in epochs, per-epoch reshuffles) are
+    reproduced by scaling every epoch-denominated knob by
+    ``epoch_len`` (epoch reshuffles already happen via
+    MultiDataLoader's epoch-bumped re-ignition).
+    """
+    runner_cfg = dict(cfg.get("runner", {}) or {})
+    lr_cfg = dict(cfg.get("lr_config", {}) or {})
+    ckpt_cfg = dict(cfg.get("checkpoint_config", {}) or {})
+    eval_cfg = dict(cfg.get("evaluation", {}) or {})
+    epoch_based = runner_cfg.get("type") == "EpochBasedRunner" or (
+        "max_epochs" in runner_cfg and "max_iters" not in runner_cfg)
+
+    if epoch_based:
+        epoch_len = max(int(epoch_len), 1)
+        max_iters = int(runner_cfg.get("max_epochs", 1)) * epoch_len
+        # mmcv LrUpdaterHook: by_epoch defaults True for epoch runners
+        if lr_cfg.get("policy") == "step" and lr_cfg.get("by_epoch", True):
+            lr_cfg["step"] = [int(s) * epoch_len
+                              for s in lr_cfg.get("step", [])]
+        # mmcv CheckpointHook / EvalHook intervals are in epochs
+        if ckpt_cfg.get("by_epoch", True) and "interval" in ckpt_cfg:
+            ckpt_cfg["interval"] = int(ckpt_cfg["interval"]) * epoch_len
+        if eval_cfg.get("by_epoch", True) and "interval" in eval_cfg:
+            eval_cfg["interval"] = int(eval_cfg["interval"]) * epoch_len
+    else:
+        max_iters = runner_cfg.get("max_iters", 300000)
+
+    if max_iters_override:
+        max_iters = max_iters_override
+    lr_cfg.setdefault("max_iters", max_iters)
+    return dict(max_iters=max_iters, lr_config=lr_cfg,
+                checkpoint_config=ckpt_cfg, evaluation=eval_cfg,
+                epoch_based=epoch_based)
+
+
 def train_model(cfg, work_dir: str, seed: int = 0,
                 validate: bool = True, resume_from: Optional[str] = None,
                 auto_resume: bool = False, load_task_pretrain_path=None,
@@ -223,7 +275,7 @@ def train_model(cfg, work_dir: str, seed: int = 0,
         num_devices = len(jax.devices())
     mesh = None
     if num_devices > 1:
-        from rscotr_tpu.parallel import make_mesh, replicated
+        from rscotr_tpu.parallel import make_mesh
         mesh = make_mesh(num_devices)
         logger.info("data parallel over %d devices (%s)", num_devices,
                     jax.devices()[0].platform)
@@ -236,12 +288,17 @@ def train_model(cfg, work_dir: str, seed: int = 0,
     if load_task_pretrain_path:
         params = load_task_pretrain(params, load_task_pretrain_path)
 
-    max_iters = max_iters_override or cfg.get(
-        "runner", {}).get("max_iters", 300000)
-    lr_cfg = dict(cfg.get("lr_config", {}) or {})
-    lr_cfg.setdefault("max_iters", max_iters)
+    datasets = build_datasets(cfg.data, split="train")
+    multi_loader = build_multidataloader(cfg, datasets, seed=seed,
+                                         world_size=num_devices)
+    epoch_len = sum(len(dl) for dl in multi_loader.loaders.values())
+    sched = resolve_schedule(cfg, epoch_len, max_iters_override)
+    max_iters = sched["max_iters"]
+    if sched["epoch_based"]:
+        logger.info("EpochBasedRunner config: %d iters/epoch -> "
+                    "max_iters %d", epoch_len, max_iters)
     optimizer = build_optimizer(
-        cfg.optimizer, params["params"], lr_config=lr_cfg,
+        cfg.optimizer, params["params"], lr_config=sched["lr_config"],
         grad_clip=(cfg.get("optimizer_config", {}) or {}).get("grad_clip"))
     opt_state = optimizer.init(params["params"])
 
@@ -253,10 +310,20 @@ def train_model(cfg, work_dir: str, seed: int = 0,
     tasks_present = {e["task"] for e in cfg.data.values()}
     steps = {t: make_train_step(model, optimizer, t, step_cfg, masks.get(t))
              for t in tasks_present}
-
-    datasets = build_datasets(cfg.data, split="train")
-    multi_loader = build_multidataloader(cfg, datasets, seed=seed,
-                                         world_size=num_devices)
+    # K-step scanned dispatch (runner.steps_per_dispatch=K): amortizes the
+    # per-iteration host dispatch (pytree marshalling) across K same-task
+    # steps inside one jitted lax.scan — the production twin of bench.py's
+    # scan mode. K=1 keeps the exact per-iteration path.
+    steps_per_dispatch = int((cfg.get("runner", {}) or {}).get(
+        "steps_per_dispatch", 1))
+    scan_steps = None
+    if steps_per_dispatch > 1:
+        from rscotr_tpu.engine import make_scan_train_step
+        scan_steps = {t: make_scan_train_step(model, optimizer, t,
+                                              step_cfg, masks.get(t))
+                      for t in tasks_present}
+        logger.info("scanned dispatch: %d steps per device call",
+                    steps_per_dispatch)
 
     start_step = 0
     if auto_resume and resume_from is None:
@@ -270,25 +337,27 @@ def train_model(cfg, work_dir: str, seed: int = 0,
         logger.info("resumed from %s @ iter %d", resume_from, start_step)
 
     if mesh is not None:
-        repl = replicated(mesh)
-        params = jax.device_put(params, repl)
-        opt_state = jax.device_put(opt_state, repl)
+        from rscotr_tpu.parallel import replicate_global
+        params = replicate_global(params, mesh)
+        opt_state = replicate_global(opt_state, mesh)
 
     runner = IterBasedRunner(steps, params, opt_state, max_iters,
                              rng_seed=seed, start_step=start_step,
                              mesh=mesh,
-                             profile_cfg=cfg.get("profile_cfg"))
+                             profile_cfg=cfg.get("profile_cfg"),
+                             scan_steps=scan_steps,
+                             steps_per_dispatch=steps_per_dispatch)
     log_cfg = cfg.get("log_config", {}) or {}
     runner.register_hook(LogHook(interval=log_cfg.get("interval", 300),
                                  work_dir=work_dir))
-    ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
+    ckpt_cfg = sched["checkpoint_config"]
     classes_meta = {n: list(ds.CLASSES) for n, ds in datasets.items()}
     runner.register_hook(CheckpointHook(
         interval=ckpt_cfg.get("interval", 100000), work_dir=work_dir,
         meta={"CLASSES": classes_meta},
         max_keep_ckpts=ckpt_cfg.get("max_keep_ckpts", -1)))
     if validate:
-        ev = cfg.get("evaluation", {}) or {}
+        ev = sched["evaluation"]
         eval_fn = make_eval_fn(
             cfg, model,
             max_per_img=(cfg.model.get("test_cfg", {}) or {}).get(

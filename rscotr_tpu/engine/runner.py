@@ -36,7 +36,9 @@ class IterBasedRunner:
                  params, opt_state, max_iters: int,
                  rng_seed: int = 0, start_step: int = 0,
                  mesh=None, prefetch: int = 2,
-                 profile_cfg: Optional[dict] = None):
+                 profile_cfg: Optional[dict] = None,
+                 scan_steps: Optional[Dict[str, Callable]] = None,
+                 steps_per_dispatch: int = 1):
         self.train_steps = train_steps
         self.params = params
         self.opt_state = opt_state
@@ -49,32 +51,55 @@ class IterBasedRunner:
         self.mesh = mesh
         self.prefetch = prefetch
         self.profile_cfg = dict(profile_cfg or {})
+        self.scan_steps = scan_steps or {}
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        if self.steps_per_dispatch > 1:
+            missing = [t for t in train_steps if t not in self.scan_steps]
+            assert not missing, \
+                f"steps_per_dispatch > 1 needs scan steps for {missing}"
         self._batch_sharding = None
+        self._scan_batch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            # grouped dispatch: leading K axis replicated, batch axis sharded
+            self._scan_batch_sharding = NamedSharding(
+                mesh, P(None, mesh.axis_names[0]))
 
     def register_hook(self, hook: Hook) -> None:
         self._hooks.append(hook)
         self._hooks.sort(key=lambda h: h.priority)
 
-    def _place_batch(self, batch: Dict[str, np.ndarray]):
+    def _put(self, v):
+        """Host-local numpy -> device array.
+
+        Single-process: device_put (sharded over the mesh when set).
+        Multi-process: every host holds only its 1/P share of the global
+        batch (rank-strided loader) — assemble the global array from the
+        process-local shard (``make_array_from_process_local_data``; the
+        jax-native replacement for the reference's per-rank DDP batches,
+        prepare_loader_args.py:77-93 + train.py:37-48)."""
         if self._batch_sharding is None:
-            return batch
-        return {k: jax.device_put(v, self._batch_sharding)
+            return jax.device_put(v)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                self._batch_sharding, v)
+        return jax.device_put(v, self._batch_sharding)
+
+    def _place_batch(self, batch: Dict[str, np.ndarray]):
+        import numpy as np
+        return {k: self._put(v) if isinstance(v, np.ndarray) else v
                 for k, v in batch.items()}
 
     def _transfer_batch(self, batch):
         """Runs in the prefetch thread: ship every array to the device
-        (sharded over the mesh when one is set) so the h2d transfer
-        overlaps the previous step's compute."""
+        (sharded/assembled over the mesh when one is set) so the h2d
+        transfer overlaps the previous step's compute."""
         import numpy as np
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                out[k] = (jax.device_put(v, self._batch_sharding)
-                          if self._batch_sharding is not None
-                          else jax.device_put(v))
+                out[k] = self._put(v)
             else:
                 out[k] = v
         return out
@@ -102,6 +127,9 @@ class IterBasedRunner:
     def run(self, multi_loader) -> None:
         self.logger.info("start training: iter %d -> %d", self.step,
                          self.max_iters)
+        if self.steps_per_dispatch > 1:
+            self._run_scanned(multi_loader)
+            return
         it = self._make_iter(multi_loader)
         t_last = time.perf_counter()
         while self.step < self.max_iters:
@@ -132,6 +160,118 @@ class IterBasedRunner:
             t_last = t_now
             for h in self._hooks:
                 h.after_train_iter(self)
+        for h in self._hooks:
+            h.after_run(self)
+        self.logger.info("training finished at iter %d", self.step)
+
+    # ------------------------------------------------------------------
+    # K-step scanned dispatch (steps_per_dispatch > 1)
+    # ------------------------------------------------------------------
+
+    def _hook_boundary(self) -> int:
+        """Max steps a dispatch group may advance without crossing a hook
+        interval boundary — hooks that fire see exact post-group params
+        at exactly their firing step."""
+        room = self.max_iters - self.step
+        for h in self._hooks:
+            iv = getattr(h, "interval", None)
+            if isinstance(iv, int) and iv > 0:
+                room = min(room, iv - self.step % iv)
+        return max(room, 1)
+
+    def _draw(self, state, multi_loader):
+        """One annotated batch; re-ignites the MultiDataLoader on epoch end
+        (same semantics as the per-iteration loop)."""
+        try:
+            return next(state["it"])
+        except StopIteration:
+            multi_loader.seed_sampler(self.step)
+            state["it"] = self._make_iter(multi_loader)
+            return next(state["it"])
+
+    def _next_group(self, state, multi_loader, k: int):
+        """Collect up to ``k`` batches of ONE (task, dataset) group.
+
+        Looks ahead in the strategy's draw stream, buffering other groups'
+        draws for later dispatch: per-dataset sample order is preserved
+        exactly; only the global interleaving collapses within the
+        lookahead window (any fixed interleaving is as arbitrary as the
+        strategy's own — the per-task optimizer masks make the updates
+        order-robust). The buffer is FIFO so no group can starve; lookahead
+        is bounded to keep at most ~4*k batches resident."""
+        buf = state["buf"]
+        if not buf:
+            buf.append(self._draw(state, multi_loader))
+        key = (buf[0]["task"], buf[0]["dataset_name"])
+        group = [buf.popleft()]
+        i = 0
+        while len(group) < k and i < len(buf):
+            if (buf[i]["task"], buf[i]["dataset_name"]) == key:
+                group.append(buf[i])
+                del buf[i]
+            else:
+                i += 1
+        cap = 4 * k
+        while len(group) < k and len(buf) < cap:
+            b = self._draw(state, multi_loader)
+            if (b["task"], b["dataset_name"]) == key:
+                group.append(b)
+            else:
+                buf.append(b)
+        return key, group
+
+    def _stack_group(self, group):
+        """Stack K same-shape batches along a new leading axis (device-side
+        — leaves already live on device via the prefetch transfer)."""
+        import jax.numpy as jnp
+        keys = [k for k in group[0] if k not in ("task", "dataset_name")]
+        out = {}
+        for k in keys:
+            x = jnp.stack([b[k] for b in group])
+            if self._scan_batch_sharding is not None and \
+                    x.shape[1] % self.mesh.devices.size == 0:
+                x = jax.device_put(x, self._scan_batch_sharding)
+            out[k] = x
+        return out
+
+    def _run_scanned(self, multi_loader) -> None:
+        import collections
+
+        import numpy as np
+
+        K = self.steps_per_dispatch
+        state = {"it": self._make_iter(multi_loader),
+                 "buf": collections.deque()}
+        t_last = time.perf_counter()
+        while self.step < self.max_iters:
+            k_eff = min(K, self._hook_boundary())
+            (task, dataset_name), group = self._next_group(
+                state, multi_loader, k_eff)
+            t_data = time.perf_counter()
+            self._maybe_profile()
+            batches = self._stack_group(group)
+            import jax.numpy as jnp
+            idxs = jnp.asarray(
+                np.arange(self.step, self.step + len(group)), jnp.int32)
+            self.params, self.opt_state, lvs = self.scan_steps[task](
+                self.params, self.opt_state, batches, self._root_key,
+                idxs)
+            t_now = time.perf_counter()
+            n = len(group)
+            per_step_time = (t_now - t_last) / n
+            per_step_data = (t_data - t_last) / n
+            lvs = {k: np.asarray(v) for k, v in lvs.items()}
+            for i in range(n):
+                self.step += 1
+                self.log_vars = {
+                    (f"{task}.{dataset_name}.{k}"
+                     if k not in ("grad_norm",) else k): float(v[i])
+                    for k, v in lvs.items()}
+                self.log_vars["data_time"] = per_step_data
+                self.log_vars["time"] = per_step_time
+                for h in self._hooks:
+                    h.after_train_iter(self)
+            t_last = time.perf_counter()
         for h in self._hooks:
             h.after_run(self)
         self.logger.info("training finished at iter %d", self.step)

@@ -190,10 +190,10 @@ def parse_losses(losses: Dict[str, jnp.ndarray]):
 # step factories
 # ---------------------------------------------------------------------------
 
-def make_train_step(model, optimizer, task: str, cfg: TrainStepConfig,
-                    task_mask=None, donate: bool = True):
-    """Returns jitted step(params, opt_state, batch, rng) ->
-    (params, opt_state, log_vars)."""
+def _train_step_body(model, optimizer, task: str, cfg: TrainStepConfig,
+                     task_mask=None):
+    """Un-jitted single-step body shared by the per-iteration and the
+    K-step-scanned dispatch paths."""
     weight = float(cfg.task_weight.get(task, 1.0))
     loss_fn = LOSS_FNS[task]
 
@@ -216,7 +216,51 @@ def make_train_step(model, optimizer, task: str, cfg: TrainStepConfig,
         log_vars["grad_norm"] = gnorm
         return out_params, new_opt, log_vars
 
+    return step
+
+
+def make_train_step(model, optimizer, task: str, cfg: TrainStepConfig,
+                    task_mask=None, donate: bool = True):
+    """Returns jitted step(params, opt_state, batch, rng) ->
+    (params, opt_state, log_vars)."""
+    step = _train_step_body(model, optimizer, task, cfg, task_mask)
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_scan_train_step(model, optimizer, task: str, cfg: TrainStepConfig,
+                         task_mask=None, donate: bool = True):
+    """K steps of one task inside ONE jitted ``lax.scan`` dispatch.
+
+    The per-iteration runner pays host dispatch (pytree flatten + RPC
+    marshalling of ~3k leaves) for every step — measured 0.35-0.85 s/iter
+    against a 0.02-0.18 s device step on this host (PERF.md). Scanning K
+    same-shape steps amortizes that to 1/K; this is the production twin of
+    bench.py's scan trick (reference hot loop: one train_step per
+    DataLoader draw — SURVEY.md §3.1).
+
+    Returns jitted
+        scan_step(params, opt_state, batches, root_key, step_idxs)
+            -> (params, opt_state, log_vars stacked over K)
+    where ``batches`` has a leading K axis on every leaf and ``step_idxs``
+    is the (K,) int32 array of global step numbers; each step's rng is
+    ``fold_in(root_key, step_idx)`` — exactly the per-iteration runner's
+    stream, so a K=1 dispatch is bit-identical to make_train_step.
+    """
+    body = _train_step_body(model, optimizer, task, cfg, task_mask)
+
+    def scan_step(params, opt_state, batches, root_key, step_idxs):
+        def f(carry, x):
+            p, o = carry
+            batch, idx = x
+            rng = jax.random.fold_in(root_key, idx)
+            p, o, lv = body(p, o, batch, rng)
+            return (p, o), lv
+
+        (params, opt_state), lvs = jax.lax.scan(
+            f, (params, opt_state), (batches, step_idxs))
+        return params, opt_state, lvs
+
+    return jax.jit(scan_step, donate_argnums=(0, 1) if donate else ())
 
 
 def make_val_step(model, task: str, cfg: TrainStepConfig):
@@ -280,8 +324,7 @@ def make_infer_steps(model, max_per_img: int = 300, img_norm=None,
         hc, wc = (int(v) for v in stc["crop_size"])
         hs, ws = (int(v) for v in stc["stride"])
 
-        @jax.jit
-        def infer_seg(params, img):
+        def seg_logits_fn(params, img):
             img = device_normalize(img, img_norm)
             B, H, W, Cin = img.shape
             if H < hc or W < wc:
@@ -320,18 +363,28 @@ def make_infer_steps(model, max_per_img: int = 300, img_norm=None,
             pred0 = jnp.zeros((B, H, W, int(C)), jnp.float32)
             cnt0 = jnp.zeros((H, W), jnp.float32)
             (pred, cnt), _ = jax.lax.scan(body, (pred0, cnt0), origins)
-            pred = pred / cnt[None, :, :, None]
-            return jnp.argmax(pred, axis=-1)
+            return pred / cnt[None, :, :, None]
     else:
-        @jax.jit
-        def infer_seg(params, img):
+        def seg_logits_fn(params, img):
             img = device_normalize(img, img_norm)
             logits = model.apply(params, img, deterministic=True,
                                  method=model.forward_seg)
-            logits = jax.image.resize(
+            # bilinear logits resize to the (padded) input resolution —
+            # first stage of the reference's whole_inference_seg
+            # (multitask_learner.py:171-179)
+            return jax.image.resize(
                 logits, (img.shape[0], img.shape[1], img.shape[2],
                          logits.shape[-1]), method="linear")
-            probs = jax.nn.softmax(logits, axis=-1)
-            return jnp.argmax(probs, axis=-1)
 
-    return {"cls": infer_cls, "det": infer_det, "seg": infer_seg}
+    # ``seg``: label maps at input resolution (demo/bench/export path).
+    # ``seg_logits``: f32 logits at input resolution — the eval stack crops
+    # to img_shape and bilinearly resizes to ori_shape BEFORE the argmax,
+    # matching the reference (multitask_learner.py:171-195,217-227).
+    infer_seg_logits = jax.jit(seg_logits_fn)
+
+    @jax.jit
+    def infer_seg(params, img):
+        return jnp.argmax(seg_logits_fn(params, img), axis=-1)
+
+    return {"cls": infer_cls, "det": infer_det, "seg": infer_seg,
+            "seg_logits": infer_seg_logits}

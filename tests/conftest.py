@@ -27,6 +27,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests")
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_devices():
     assert jax.devices()[0].platform == "cpu", (

@@ -52,6 +52,11 @@ def parse_args(argv=None):
     p.add_argument("--auto-scale-lr", action="store_true")
     p.add_argument("--max-iters", type=int, default=None,
                    help="override runner.max_iters (smoke runs)")
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="override runner.steps_per_dispatch: run K "
+                        "same-task steps per jitted lax.scan dispatch "
+                        "(amortizes host dispatch; 1 = exact per-iter "
+                        "path)")
     return p.parse_args(argv)
 
 
@@ -60,6 +65,9 @@ def main(argv=None):
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
+    if args.steps_per_dispatch:
+        cfg.merge_from_dict(
+            {"runner.steps_per_dispatch": args.steps_per_dispatch})
     cfg = load_data_cfg(cfg, config_root=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
 
