@@ -91,10 +91,25 @@ _COLLATES = {
 def build_dataloaders(datasets: Dict[str, object], data_cfg,
                       train: bool = True, seed: int = 0,
                       num_threads: int = 4,
-                      world_size: int = 1) -> Dict[str, TaskDataLoader]:
+                      world_size: int = 1,
+                      num_replicas: Optional[int] = None,
+                      rank: Optional[int] = None
+                      ) -> Dict[str, TaskDataLoader]:
     """``world_size > 1`` multiplies the per-device batch into a global
     batch (DDP semantics: reference ``samples_per_gpu`` is per device;
-    the jitted step shards the global batch over the data mesh)."""
+    the jitted step shards the global batch over the data mesh).
+
+    Multi-host: ``num_replicas``/``rank`` default to
+    ``jax.process_count()``/``jax.process_index()``. Each host's loader
+    yields its 1/num_replicas share of the global batch from a rank-strided
+    index partition (DistributedSampler semantics — reference
+    prepare_loader_args.py:77-93); the runner assembles the host-local
+    shares into one global array per step."""
+    if num_replicas is None or rank is None:
+        import jax
+        num_replicas = jax.process_count() if num_replicas is None \
+            else num_replicas
+        rank = jax.process_index() if rank is None else rank
     loaders = {}
     for name, ds in datasets.items():
         entry = data_cfg[name]
@@ -102,7 +117,11 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
         bs = entry["data"].get("samples_per_gpu", 1) if train else \
             entry["data"].get("test_samples_per_gpu", 1)
         if train:
-            bs = bs * max(1, world_size)
+            bs_global = bs * max(1, world_size)
+            assert bs_global % num_replicas == 0, (
+                f"global batch {bs_global} not divisible by "
+                f"{num_replicas} processes ({name})")
+            bs = bs_global // num_replicas
         pcfg = list(ds.pipeline_cfg or [])
         collate = _COLLATES[ds.task](opts)
         img_norm = None
@@ -116,7 +135,9 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
             ds, batch_size=bs, pipeline=pipeline,
             collate_fn=collate,
             shuffle=train, seed=seed, drop_last=train,
-            num_threads=num_threads)
+            num_threads=num_threads,
+            num_replicas=(num_replicas if train else 1),
+            rank=(rank if train else 0))
         loaders[name].img_norm = img_norm
     return loaders
 

@@ -88,12 +88,22 @@ def collate_seg(samples: List[dict], size: int = 512,
 
 
 class TaskDataLoader:
-    """Shuffling, epoch-based iterator with threaded sample preparation."""
+    """Shuffling, epoch-based iterator with threaded sample preparation.
+
+    ``num_replicas``/``rank`` give torch ``DistributedSampler`` semantics
+    (the reference shards every child dataset per rank —
+    /root/reference/mtl/data/prepare_loader_args.py:77-93): the shuffled
+    index list is padded by wrap-around to a multiple of ``num_replicas``
+    and each rank takes its strided slice, so every process draws the same
+    NUMBER of equally-sized batches from disjoint samples. The shuffle is
+    seeded by (seed, epoch) only — identical on every process, which is
+    what makes the strided split a partition."""
 
     def __init__(self, dataset, batch_size: int, pipeline=None,
                  collate_fn: Callable = None, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 num_threads: int = 4, infinite: bool = False):
+                 num_threads: int = 4, infinite: bool = False,
+                 num_replicas: int = 1, rank: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.pipeline = pipeline or []
@@ -103,6 +113,9 @@ class TaskDataLoader:
         self.drop_last = drop_last
         self.num_threads = max(1, num_threads)
         self.infinite = infinite
+        assert 0 <= rank < max(num_replicas, 1)
+        self.num_replicas = max(1, num_replicas)
+        self.rank = rank
         self._epoch = 0
         self._pool = None
 
@@ -112,8 +125,13 @@ class TaskDataLoader:
             self._pool = ThreadPoolExecutor(self.num_threads)
         return self._pool
 
-    def __len__(self):
+    def _rank_size(self) -> int:
+        """Per-rank sample count (DistributedSampler: ceil(N / R))."""
         n = len(self.dataset)
+        return (n + self.num_replicas - 1) // self.num_replicas
+
+    def __len__(self):
+        n = self._rank_size()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -127,6 +145,11 @@ class TaskDataLoader:
             rng = np.random.Generator(
                 np.random.PCG64(self.seed * 1000003 + self._epoch))
             rng.shuffle(idx)
+        if self.num_replicas > 1:
+            total = self._rank_size() * self.num_replicas
+            if total > idx.size:          # wrap-around padding
+                idx = np.concatenate([idx, idx[:total - idx.size]])
+            idx = idx[self.rank::self.num_replicas]
         return idx
 
     def _prepare(self, idx: int, sample_seed: int) -> dict:

@@ -44,6 +44,21 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, s)
 
 
+def replicate_global(tree, mesh: Mesh):
+    """Replicate a host-local pytree over a (possibly multi-host) mesh.
+
+    Single-process: plain ``device_put`` to a replicated sharding.
+    Multi-process: every host holds the same values (same-seed init /
+    checkpoint), so ``host_local_array_to_global_array`` assembles the
+    fully-replicated global arrays (device_put cannot address other
+    hosts' devices)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, P())
+    return jax.device_put(tree, replicated(mesh))
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
                 axis_name: str = "data"):
     """Shard every array on the leading (batch) axis."""

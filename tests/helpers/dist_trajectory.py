@@ -1,0 +1,152 @@
+"""Standalone multi-process DP training trajectory (test helper).
+
+Launched by tests/test_multihost_train.py as 1 or 2 OS processes over a
+virtual CPU mesh (gloo collectives): each process runs the REAL stack —
+rank-strided TaskDataLoader, IterBasedRunner with a global mesh,
+make_train_step — for a few steps and dumps the loss trajectory + final
+params. The 2-process run must match the 1-process run on the same
+global batch stream (VERDICT round-1 item #2 'done' criterion).
+
+Must be runnable with a bare interpreter: env is configured BEFORE jax
+imports, and the axon TPU plugin env is stripped (CLAUDE.md gotcha).
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--coordinator", default="localhost:9911")
+    ap.add_argument("--local-devices", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--global-batch", type=int, default=8)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    for k in list(os.environ):
+        if k.startswith(("PALLAS_AXON", "AXON_")):
+            del os.environ[k]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") +
+        f" --xla_force_host_platform_device_count={args.local_devices}"
+    ).strip()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+
+    import numpy as np
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from rscotr_tpu.data import MultiDataLoader, TaskDataLoader, \
+        strategies_map
+    from rscotr_tpu.engine import (IterBasedRunner, TrainStepConfig,
+                                   build_optimizer, make_train_step)
+    from rscotr_tpu.parallel import make_mesh, replicate_global
+
+    class MiniCls(nn.Module):
+        num_classes: int = 7
+
+        def setup(self):
+            self.head = nn.Dense(self.num_classes)
+
+        def __call__(self, img, deterministic=True):
+            return self.forward_cls(img, deterministic)
+
+        def forward_cls(self, img, deterministic=True):
+            return self.head(img.mean(axis=(1, 2)))
+
+    class Ds:
+        task = "cls"
+        CLASSES = tuple(f"c{i}" for i in range(7))
+
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, idx):
+            rng = np.random.Generator(np.random.PCG64(idx))
+            return {"img": rng.uniform(0, 1, (8, 8, 3)).astype(np.float32),
+                    "gt_label": np.int32(idx % 7)}
+
+    def collate(samples):
+        return {"img": np.stack([s["img"] for s in samples]),
+                "gt_label": np.asarray(
+                    [s["gt_label"] for s in samples], np.int32)}
+
+    pc = jax.process_count()
+    assert pc == args.num_processes, (pc, args.num_processes)
+    assert len(jax.devices()) == args.local_devices * args.num_processes
+
+    bs_host = args.global_batch // pc
+    dl = TaskDataLoader(Ds(), bs_host, collate_fn=collate, num_threads=1,
+                        shuffle=True, seed=7,
+                        num_replicas=pc, rank=jax.process_index())
+    loaders = {"resisc": dl}
+    ml = MultiDataLoader(loaders, strategies_map["round_robin"](loaders))
+
+    model = MiniCls()
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((args.global_batch, 8, 8, 3)))
+    cfg = TrainStepConfig(task_weight={"cls": 1.0}, cls_num_classes=7,
+                          cls_use_augments=False)
+    opt = build_optimizer(dict(type="AdamW", lr=1e-2, weight_decay=1e-4),
+                          params["params"],
+                          lr_config=dict(policy="fixed"))
+    opt_state = opt.init(params["params"])
+
+    mesh = make_mesh()
+    params = replicate_global(params, mesh)
+    opt_state = replicate_global(opt_state, mesh)
+
+    steps = {"cls": make_train_step(model, opt, "cls", cfg, donate=False)}
+    losses = []
+
+    class LossTap:
+        priority = 50
+
+        def after_train_iter(self, runner):
+            losses.append(float(np.asarray(
+                runner.log_vars["cls.resisc.loss"].addressable_data(0)
+                if hasattr(runner.log_vars["cls.resisc.loss"],
+                           "addressable_data")
+                else runner.log_vars["cls.resisc.loss"])))
+
+        def after_run(self, runner):
+            pass
+
+    with mesh:
+        runner = IterBasedRunner(steps, params, opt_state, args.steps,
+                                 mesh=mesh, prefetch=0)
+        runner.register_hook(LossTap())
+        runner.run(ml)
+
+    final = jax.tree.map(
+        lambda x: np.asarray(x.addressable_data(0)), runner.params)
+    if jax.process_index() == 0:
+        with open(args.out, "wb") as f:
+            pickle.dump({"losses": losses, "params": final}, f)
+    # multi-process teardown can hang on this host; results are on disk
+    if args.num_processes > 1:
+        try:
+            jax.distributed.shutdown()
+        except Exception:
+            pass
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
