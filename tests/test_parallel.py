@@ -255,3 +255,36 @@ def test_sharded_multistep_trajectory_matches_single_device(cls_setup,
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
     assert jax.tree.leaves(p2)[0].sharding.is_fully_replicated
+
+
+def test_sharded_eval_equals_unsharded_eval(cls_setup, cpu_mesh):
+    """VERDICT round-1 item #5: data-parallel (mesh-sharded) evaluation
+    over multi-batch datasets must reproduce the unsharded results
+    exactly (same per-image probs, same ordering)."""
+    from rscotr_tpu.data.datasets import SyntheticClsDataset
+    from rscotr_tpu.data.loader import TaskDataLoader, collate_cls
+    from rscotr_tpu.engine import make_infer_steps, single_device_test
+    from rscotr_tpu.models import build_model
+
+    cfg = Config.fromfile(
+        os.path.join(ROOT, "configs/multi/MTL_tiny_synthetic.py"))
+    cfg.model["bbox_head"] = None
+    cfg.model["seg_head"] = None
+    model = build_model(cfg.model)
+    params, _, _ = cls_setup
+
+    ds = SyntheticClsDataset(length=24, img_size=128, num_classes=45)
+    ds.dataset_name = "a"
+    ds.task = "cls"
+    dl = TaskDataLoader(ds, batch_size=8, collate_fn=collate_cls,
+                        shuffle=False, seed=0, num_threads=1,
+                        drop_last=False)
+    infer = make_infer_steps(model)
+
+    with jax.default_matmul_precision("highest"):
+        plain = single_device_test(infer, params, {"a": dl})
+        sharded = single_device_test(infer, params, {"a": dl},
+                                     mesh=cpu_mesh)
+    assert len(plain["a"]) == len(sharded["a"]) == 24
+    for x, y in zip(plain["a"], sharded["a"]):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
