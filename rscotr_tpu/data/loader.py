@@ -243,6 +243,17 @@ class MultiDataLoader:
 
     def __init__(self, loaders: Dict[str, TaskDataLoader], strategy):
         assert len(loaders) > 0
+        for n, dl in loaders.items():
+            try:
+                nb = len(dl)
+            except TypeError:
+                nb = None
+            # a 0-batch child (dataset < batch_size with drop_last) would
+            # silently starve its task: every draw re-ignites and
+            # immediately exhausts — fail loudly at build time instead
+            assert nb is None or nb > 0, (
+                f"loader '{n}' yields no batches (dataset of "
+                f"{len(dl.dataset)} < batch size {dl.batch_size}?)")
         self.loaders = loaders
         self.names = list(loaders.keys())
         self.strategy = strategy
