@@ -31,6 +31,15 @@ from rscotr_tpu.engine.hooks import Hook
 from rscotr_tpu.utils import get_root_logger
 
 
+def host_value(v):
+    """Device scalar/array -> host numpy. Multi-host global arrays are not
+    fully addressable (np.asarray/float raise) — every process holds a
+    replica of loss/log outputs, so read the local shard."""
+    if hasattr(v, "is_fully_addressable") and not v.is_fully_addressable:
+        return np.asarray(v.addressable_data(0))
+    return np.asarray(v)
+
+
 class IterBasedRunner:
     def __init__(self, train_steps: Dict[str, Callable],
                  params, opt_state, max_iters: int,
@@ -152,7 +161,7 @@ class IterBasedRunner:
             # '{task}.{dataset_name}.{loss_name}'
             self.log_vars = {
                 (f"{task}.{dataset_name}.{k}" if k not in ("grad_norm",)
-                 else k): v
+                 else k): (host_value(v) if jax.process_count() > 1 else v)
                 for k, v in log_vars.items()}
             t_now = time.perf_counter()
             self.log_vars["data_time"] = t_data - t_last
@@ -260,7 +269,7 @@ class IterBasedRunner:
             n = len(group)
             per_step_time = (t_now - t_last) / n
             per_step_data = (t_data - t_last) / n
-            lvs = {k: np.asarray(v) for k, v in lvs.items()}
+            lvs = {k: host_value(v) for k, v in lvs.items()}
             for i in range(n):
                 self.step += 1
                 self.log_vars = {
