@@ -98,6 +98,18 @@ class TestLoaders:
         for _ in range(30):   # > one epoch of each child
             next(it)
 
+    def test_zero_batch_child_rejected_at_build(self):
+        """A child whose dataset is smaller than its batch size (0 batches
+        with drop_last) would silently starve its task on every draw —
+        MultiDataLoader must fail loudly at construction instead."""
+        loaders = make_loaders()
+        loaders["potsdam"] = TaskDataLoader(
+            SyntheticSegDataset(length=1, img_size=64), 2,
+            collate_fn=lambda s: collate_seg(s, 64), num_threads=1)
+        s = strategies_map["round_robin"](loaders)
+        with pytest.raises(AssertionError, match="potsdam"):
+            MultiDataLoader(loaders, s)
+
     def test_multi_loader_exhaust_all(self):
         loaders = make_loaders()
         s = strategies_map["size_proportional"](loaders, seed=0)
