@@ -260,6 +260,22 @@ def resolve_schedule(cfg, epoch_len: int,
                 epoch_based=epoch_based)
 
 
+def apply_fp16_cfg(cfg) -> bool:
+    """Map the reference's optional ``fp16 = dict(loss_scale=...)`` config
+    key (mtl/apis/train.py:66-74 builds an Fp16OptimizerHook from it) to the
+    TPU-native equivalent: bf16 compute dtype on the model (params, losses
+    and task outputs stay f32). bf16 has the f32 exponent range, so the
+    reference's loss_scale is unnecessary and ignored. Returns True when
+    the mapping was applied (no-op if the model already sets a dtype)."""
+    if cfg.get("fp16") is None or cfg.model.get("compute_dtype"):
+        return False
+    cfg.model["compute_dtype"] = "bfloat16"
+    get_root_logger().info(
+        "fp16 config -> bfloat16 compute dtype (TPU-native AMP; "
+        "loss_scale ignored: bf16 keeps the f32 exponent range)")
+    return True
+
+
 def train_model(cfg, work_dir: str, seed: int = 0,
                 validate: bool = True, resume_from: Optional[str] = None,
                 auto_resume: bool = False, load_task_pretrain_path=None,
@@ -279,6 +295,7 @@ def train_model(cfg, work_dir: str, seed: int = 0,
         mesh = make_mesh(num_devices)
         logger.info("data parallel over %d devices (%s)", num_devices,
                     jax.devices()[0].platform)
+    apply_fp16_cfg(cfg)
     model = build_model(cfg.model)
     params = init_model_params(model, cfg, seed)
     n_params = sum(int(np.prod(p.shape))
@@ -347,6 +364,10 @@ def train_model(cfg, work_dir: str, seed: int = 0,
                              profile_cfg=cfg.get("profile_cfg"),
                              scan_steps=scan_steps,
                              steps_per_dispatch=steps_per_dispatch)
+    # context for hooks that introspect the run (mmcv hooks read these off
+    # the runner; NumClassCheckHook needs both)
+    runner.datasets = datasets
+    runner.model_cfg = cfg.model
     log_cfg = cfg.get("log_config", {}) or {}
     runner.register_hook(LogHook(interval=log_cfg.get("interval", 300),
                                  work_dir=work_dir))
@@ -366,6 +387,10 @@ def train_model(cfg, work_dir: str, seed: int = 0,
         runner.register_hook(MultiDatasetsEvalHook(
             eval_fn, interval=ev.get("interval", 15000),
             save_best=ev.get("save_best"), work_dir=work_dir))
+    # user hooks from cfg.custom_hooks (reference mtl/apis/train.py:83)
+    from rscotr_tpu.engine.hooks import build_custom_hooks
+    for hook in build_custom_hooks(cfg.get("custom_hooks")):
+        runner.register_hook(hook)
 
     runner.run(multi_loader)
     return runner

@@ -15,6 +15,7 @@ from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
+from rscotr_tpu.config.registry import HOOKS
 from rscotr_tpu.engine.checkpoint import save_checkpoint
 from rscotr_tpu.utils import MetricsSink, get_root_logger
 
@@ -22,11 +23,68 @@ from rscotr_tpu.utils import MetricsSink, get_root_logger
 class Hook:
     priority = 50
 
+    def before_run(self, runner) -> None:
+        pass
+
     def after_train_iter(self, runner) -> None:
         pass
 
     def after_run(self, runner) -> None:
         pass
+
+
+# mmcv Priority names, accepted in hook configs (lower fires first).
+PRIORITY_NAMES = {
+    "HIGHEST": 0, "VERY_HIGH": 10, "HIGH": 30, "ABOVE_NORMAL": 40,
+    "NORMAL": 50, "BELOW_NORMAL": 60, "LOW": 70, "VERY_LOW": 90,
+    "LOWEST": 100,
+}
+
+
+def build_custom_hooks(custom_hooks_cfg) -> list:
+    """Build user hooks from ``cfg.custom_hooks`` (the reference registers
+    these through mmcv's runner — /root/reference/mtl/apis/train.py:83).
+    Each entry is ``dict(type=Name, priority=..., **kwargs)``; ``priority``
+    accepts mmcv names or ints."""
+    hooks = []
+    for item in (custom_hooks_cfg or []):
+        item = dict(item)
+        prio = item.pop("priority", None)
+        h = HOOKS.build(item)
+        if prio is not None:
+            h.priority = (PRIORITY_NAMES[prio] if isinstance(prio, str)
+                          else int(prio))
+        hooks.append(h)
+    return hooks
+
+
+@HOOKS.register_module()
+class NumClassCheckHook(Hook):
+    """The one custom hook the reference configs actually use
+    (/root/reference/configs/_base_/det/default_runtime.py:10 → mmdet's
+    NumClassCheckHook): before training, verify each dataset's CLASSES
+    count matches its task head's ``num_classes`` — catches config/dataset
+    mismatches before 300k iters are spent."""
+    _HEAD_KEYS = {"cls": "cls_head", "det": "bbox_head", "seg": "seg_head"}
+
+    def before_run(self, runner) -> None:
+        datasets = getattr(runner, "datasets", None) or {}
+        model_cfg = getattr(runner, "model_cfg", None) or {}
+        for name, ds in datasets.items():
+            task = getattr(ds, "task", None)
+            classes = getattr(ds, "CLASSES", None)
+            head = model_cfg.get(self._HEAD_KEYS.get(task, "")) or {}
+            # standalone models carry the head at decode_head/head too
+            if not head and task == "seg":
+                head = model_cfg.get("decode_head") or {}
+            num = head.get("num_classes")
+            if num is None or classes is None:
+                continue
+            if len(classes) != int(num):
+                raise ValueError(
+                    f"NumClassCheckHook: dataset '{name}' has "
+                    f"{len(classes)} CLASSES but the {task} head is "
+                    f"configured with num_classes={num}")
 
 
 class LogHook(Hook):
@@ -158,3 +216,7 @@ class MultiDatasetsEvalHook(Hook):
                                     name="best_checkpoint")
                 self.logger.info("new best score %.4f @ iter %d", score,
                                  runner.step)
+
+
+for _h in (LogHook, CheckpointHook, MultiDatasetsEvalHook):
+    HOOKS.register_module(module=_h)

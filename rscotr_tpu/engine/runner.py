@@ -136,6 +136,8 @@ class IterBasedRunner:
     def run(self, multi_loader) -> None:
         self.logger.info("start training: iter %d -> %d", self.step,
                          self.max_iters)
+        for h in self._hooks:
+            h.before_run(self)
         if self.steps_per_dispatch > 1:
             self._run_scanned(multi_loader)
             return

@@ -246,7 +246,7 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     out_indices: Sequence[int] = (0, 1, 2, 3)
-    with_cp: bool = False          # accepted for config parity; remat knob
+    with_cp: bool = False          # per-block activation remat (see below)
     convert_weights: bool = True   # config parity (handled by converter)
     fused_window_attn: bool = False  # Pallas fused attention (TPU)
     pretrained: Optional[str] = None
@@ -270,9 +270,15 @@ class SwinTransformer(nn.Module):
         dprs = drop_path_rates(self.drop_path_rate, self.depths)
         outs = []
         dim = self.embed_dims
+        # with_cp = activation rematerialization per block (mmcv Swin's
+        # torch.utils.checkpoint knob): backward stores only block inputs
+        # and recomputes intermediates (jax.checkpoint); deterministic is
+        # static argnum 2 (self is 0).
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
+                     if self.with_cp else SwinBlock)
         for si, depth in enumerate(self.depths):
             for bi in range(depth):
-                block = SwinBlock(
+                block = block_cls(
                     dim=dim, num_heads=self.num_heads[si],
                     window_size=self.window_size,
                     shift=0 if bi % 2 == 0 else self.window_size // 2,
@@ -282,9 +288,6 @@ class SwinTransformer(nn.Module):
                     drop_path=dprs[si][bi],
                     fused_attn=self.fused_window_attn, dtype=self.dtype,
                     name=f"stage{si}_block{bi}")
-                # with_cp (activation rematerialization) is applied at the
-                # train-step level via jax.checkpoint policies; the flag is
-                # accepted here for config parity.
                 x = block(x, deterministic)
             if si in self.out_indices:
                 outs.append(LayerNorm(name=f"out_norm{si}")(x))

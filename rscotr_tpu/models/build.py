@@ -91,7 +91,8 @@ def build_shared_encoder(cfg: dict, dtype=jnp.float32):
         num_points=attn.get("num_points", 4),
         feedforward_channels=ffn.get("feedforward_channels", 2048),
         ffn_drop=ffn.get("ffn_drop", 0.0),
-        dropout=attn.get("dropout", 0.0), dtype=dtype)
+        dropout=attn.get("dropout", 0.0),
+        with_cp=bool(c.get("with_cp", False)), dtype=dtype)
 
 
 def build_cls_head(cfg: Optional[dict], dtype=jnp.float32):

@@ -70,13 +70,25 @@ class DeformableEncoder(nn.Module):
     feedforward_channels: int = 2048
     ffn_drop: float = 0.0
     dropout: float = 0.0
+    # activation rematerialization: store only layer INPUTS for the
+    # backward and recompute each layer's intermediates (jax.checkpoint) —
+    # trades recompute FLOPs for HBM residuals (the gathered MSDA tensors
+    # are the big ones). mmcv's analogous knob is ``with_cp`` torch
+    # checkpointing on transformer layers.
+    with_cp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, query_pos, reference_points, spatial_shapes,
                  key_padding_mask=None, deterministic: bool = True):
+        layer_cls = DeformableEncoderLayer
+        if self.with_cp:
+            # spatial_shapes is a static tuple of python ints (argnum 4);
+            # deterministic is a python bool (argnum 6); self is argnum 0.
+            layer_cls = nn.remat(DeformableEncoderLayer,
+                                 static_argnums=(4, 6))
         for i in range(self.num_layers):
-            x = DeformableEncoderLayer(
+            x = layer_cls(
                 embed_dims=self.embed_dims, num_heads=self.num_heads,
                 num_levels=self.num_levels, num_points=self.num_points,
                 feedforward_channels=self.feedforward_channels,

@@ -115,9 +115,9 @@ def main():
     steps = {"cls": make_train_step(model, opt, "cls", cfg, donate=False)}
     losses = []
 
-    class LossTap:
-        priority = 50
+    from rscotr_tpu.engine.hooks import Hook
 
+    class LossTap(Hook):
         def after_train_iter(self, runner):
             losses.append(float(np.asarray(
                 runner.log_vars["cls.resisc.loss"].addressable_data(0)

@@ -51,6 +51,36 @@ class TestSwin:
         assert m.shape == (4, 49, 49)
         assert (m < 0).any() and (m == 0).any()
 
+    def test_with_cp_remat_is_exact(self, rng):
+        """with_cp (per-block jax.checkpoint remat) must not change the
+        forward values or the gradients — it only trades recompute for
+        residual memory (mmcv Swin's torch checkpointing knob)."""
+        from rscotr_tpu.models.backbones import SwinTransformer
+        kw = dict(depths=(2, 2), num_heads=(3, 6), out_indices=(0, 1),
+                  drop_path_rate=0.0)
+        m0 = SwinTransformer(**kw)
+        m1 = SwinTransformer(with_cp=True, **kw)
+        x = jax.random.normal(rng, (1, 56, 56, 3))
+        params = m0.init(rng, x)
+
+        def loss(m):
+            return lambda p: sum(jnp.sum(o * o) for o in m.apply(p, x))
+
+        with jax.default_matmul_precision("highest"):
+            v0, g0 = jax.value_and_grad(loss(m0))(params)
+            v1, g1 = jax.value_and_grad(loss(m1))(params)
+        assert jnp.allclose(v0, v1)
+        # tolerance scaled to the global grad magnitude: the two compiled
+        # graphs reassociate f32 reductions differently, leaving ~1e-5
+        # absolute noise that reads as a large RELATIVE error only on
+        # near-zero leaves (cancellation); a remat logic bug would show
+        # O(gmax) errors. (Raw-op exactness under jax.checkpoint is pinned
+        # separately by the d_value/d_loc/d_aw probe in test history.)
+        gmax = max(float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(g0))
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: jnp.max(jnp.abs(a - b)) <= 1e-4 * (1.0 + gmax),
+            g0, g1))
+
 
 class TestResNet:
     def test_shapes(self, rng):
@@ -95,6 +125,37 @@ class TestTransformerBricks:
         out = enc.apply(params, x, pos, ref, shapes)
         assert out.shape == (B, nv, C)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_encoder_with_cp_remat_is_exact(self, rng):
+        """Encoder-layer remat (with_cp) is value- and grad-exact; it only
+        drops the per-layer MSDA residuals from the backward's memory."""
+        from rscotr_tpu.models.layers import DeformableEncoder
+        from rscotr_tpu.ops import encoder_reference_points
+        shapes = ((8, 8), (4, 4))
+        nv = 64 + 16
+        B, C = 2, 32
+        kw = dict(num_layers=2, embed_dims=C, num_heads=4, num_levels=2,
+                  num_points=2, feedforward_channels=64)
+        e0 = DeformableEncoder(**kw)
+        e1 = DeformableEncoder(with_cp=True, **kw)
+        x = jax.random.normal(rng, (B, nv, C))
+        pos = jnp.zeros((B, nv, C))
+        ref = encoder_reference_points(shapes, jnp.ones((B, 2, 2)))
+        params = e0.init(rng, x, pos, ref, shapes)
+
+        def loss(e):
+            return lambda p, xx: jnp.sum(
+                e.apply(p, xx, pos, ref, shapes) ** 2)
+
+        with jax.default_matmul_precision("highest"):
+            v0, g0 = jax.value_and_grad(loss(e0), argnums=(0, 1))(params, x)
+            v1, g1 = jax.value_and_grad(loss(e1), argnums=(0, 1))(params, x)
+        assert jnp.allclose(v0, v1)
+        # global-magnitude tolerance: see the Swin remat test's comment
+        gmax = max(float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(g0))
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: jnp.max(jnp.abs(a - b)) <= 1e-4 * (1.0 + gmax),
+            g0, g1))
 
     def test_mha_attn_mask(self, rng):
         from rscotr_tpu.models.layers import MultiheadAttention

@@ -59,3 +59,119 @@ class TestCheckpointHookMaxKeep:
             hook.after_train_iter(runner)
         kept = sorted(d for d in os.listdir(wd) if d.startswith("iter_"))
         assert kept == ["iter_1", "iter_2", "iter_3"]
+
+
+class TestCustomHooks:
+    def test_build_custom_hooks_from_cfg(self):
+        """cfg.custom_hooks entries build through the HOOKS registry with
+        mmcv priority names/ints honored (reference registers them via
+        mmcv's runner — mtl/apis/train.py:83)."""
+        from rscotr_tpu.config.registry import HOOKS
+        from rscotr_tpu.engine.hooks import Hook, build_custom_hooks
+
+        if "RecordingHook" not in HOOKS:
+            @HOOKS.register_module()
+            class RecordingHook(Hook):
+                def __init__(self, tag="x"):
+                    self.tag = tag
+                    self.calls = []
+
+                def before_run(self, runner):
+                    self.calls.append(("before_run", runner.step))
+
+                def after_train_iter(self, runner):
+                    self.calls.append(("iter", runner.step))
+
+        hooks = build_custom_hooks([
+            dict(type="RecordingHook", tag="a", priority="VERY_HIGH"),
+            dict(type="RecordingHook", tag="b", priority=75),
+            dict(type="NumClassCheckHook"),
+        ])
+        assert [h.priority for h in hooks] == [10, 75, 50]
+        assert hooks[0].tag == "a"
+
+    def test_custom_hooks_fire_in_priority_order(self):
+        """Registered hooks run before_run then per-iter callbacks in
+        ascending priority order."""
+        from rscotr_tpu.engine.hooks import Hook
+        from rscotr_tpu.engine.runner import IterBasedRunner
+
+        order = []
+
+        class Rec(Hook):
+            def __init__(self, name, priority):
+                self.name = name
+                self.priority = priority
+
+            def before_run(self, runner):
+                order.append(("before", self.name))
+
+            def after_train_iter(self, runner):
+                order.append(("iter", self.name))
+
+        def fake_step(params, opt_state, batch, rng):
+            return params, opt_state, {"loss": np.float32(0.0)}
+
+        class OneBatchLoader:
+            def __iter__(self):
+                return iter([{"task": "cls", "dataset_name": "d",
+                              "x": np.zeros(1, np.float32)}])
+
+            def seed_sampler(self, epoch):
+                pass
+
+        runner = IterBasedRunner({"cls": fake_step}, params={},
+                                 opt_state={}, max_iters=1, prefetch=0)
+        runner.register_hook(Rec("late", 90))
+        runner.register_hook(Rec("early", 10))
+        runner.run(OneBatchLoader())
+        assert order[:2] == [("before", "early"), ("before", "late")]
+        assert order[2:4] == [("iter", "early"), ("iter", "late")]
+
+    def test_num_class_check_hook(self):
+        """NumClassCheckHook flags dataset CLASSES vs head num_classes
+        mismatches before the run (reference det default_runtime
+        custom hook — configs/_base_/det/default_runtime.py:10)."""
+        import pytest
+        from rscotr_tpu.engine.hooks import NumClassCheckHook
+
+        ds_ok = types.SimpleNamespace(task="det",
+                                      CLASSES=[f"c{i}" for i in range(20)])
+        runner = types.SimpleNamespace(
+            datasets={"dior": ds_ok},
+            model_cfg={"bbox_head": {"num_classes": 20}})
+        NumClassCheckHook().before_run(runner)   # no raise
+
+        runner.model_cfg = {"bbox_head": {"num_classes": 19}}
+        with pytest.raises(ValueError, match="dior.*20 CLASSES.*19"):
+            NumClassCheckHook().before_run(runner)
+
+        # missing info -> skipped, not an error
+        runner.datasets = {"d": types.SimpleNamespace(task="cls",
+                                                      CLASSES=None)}
+        NumClassCheckHook().before_run(runner)
+
+
+class TestFp16Mapping:
+    def test_fp16_cfg_maps_to_bf16_compute(self):
+        """The reference's optional fp16 AMP config key enables the
+        TPU-native bf16 compute path; an explicit compute_dtype wins."""
+        from rscotr_tpu.apis import apply_fp16_cfg
+
+        class Cfg(dict):
+            def __init__(self, d):
+                super().__init__(d)
+                self.model = d["model"]
+
+        cfg = Cfg({"model": {}, "fp16": {"loss_scale": 512.0}})
+        assert apply_fp16_cfg(cfg) is True
+        assert cfg.model["compute_dtype"] == "bfloat16"
+
+        cfg = Cfg({"model": {"compute_dtype": "float32"},
+                   "fp16": {"loss_scale": 512.0}})
+        assert apply_fp16_cfg(cfg) is False
+        assert cfg.model["compute_dtype"] == "float32"
+
+        cfg = Cfg({"model": {}})
+        assert apply_fp16_cfg(cfg) is False
+        assert "compute_dtype" not in cfg.model

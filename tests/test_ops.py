@@ -55,6 +55,24 @@ class TestMsDeformAttn:
         expected = ms_deform_attn_reference_numpy(value, shapes, loc, attn)
         np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
 
+    def test_grads_exact_under_remat(self):
+        """jax.checkpoint around the op must reproduce d_value/d_loc/d_aw
+        BITWISE (the custom VJPs re-run identically in the rematerialized
+        backward) — the encoder's with_cp knob rests on this."""
+        value, shapes, loc, attn = self._rand_inputs(seed=5)
+        value, loc, attn = (jnp.asarray(v) for v in (value, loc, attn))
+
+        def f(value, loc, attn):
+            return jnp.sum(
+                ops.ms_deform_attn(value, shapes, loc, attn,
+                                   impl="xla") ** 2)
+
+        g0 = jax.grad(f, argnums=(0, 1, 2))(value, loc, attn)
+        g1 = jax.grad(jax.checkpoint(f), argnums=(0, 1, 2))(value, loc,
+                                                            attn)
+        for a, b in zip(g0, g1):
+            assert (np.asarray(a) == np.asarray(b)).all()
+
     def test_vs_torch_grid_sample(self):
         """Cross-check against F.grid_sample, the semantics the CUDA op uses."""
         torch = pytest.importorskip("torch")

@@ -107,6 +107,23 @@ class TestConfusionMatrixTools:
         assert png.exists() and png.stat().st_size > 0
 
 
+class TestBenchmarkCLI:
+    def test_cls_train_with_cfg_options(self):
+        """tools/benchmark.py end-to-end on the tiny synthetic config:
+        --cfg-options reaches the model build (backbone remat on) and the
+        report carries timing / FLOPs / compile-time temp-memory keys."""
+        bench = _load("tools/benchmark.py", "benchtool")
+        report = bench.main([
+            os.path.join(ROOT, "configs/multi/MTL_tiny_synthetic.py"),
+            "--tasks", "cls", "--train", "--iters", "1", "--warmup", "1",
+            "--cfg-options", "model.backbone.with_cp=True"])
+        entry = report["tasks"]["cls"]
+        for key in ("infer_ms", "infer_temp_mb", "train_ms",
+                    "train_temp_mb"):
+            assert key in entry
+        assert entry["train_ms"] > 0
+
+
 class TestDrawFeatmap:
     def test_reductions_and_montage(self):
         dfm = _load("tools/featmap_vis/draw_featmap.py", "dfm")

@@ -54,6 +54,20 @@ def _flops_of(compiled) -> float:
         return 0.0
 
 
+def _temp_bytes_of(compiled) -> float:
+    """XLA's compile-time allocation plan for the program's temporaries
+    (activations/residuals/workspace) — the number the with_cp remat knobs
+    move; argument/output buffers (params, opt state, batch) are constant
+    across variants so they are reported separately by the caller."""
+    try:
+        ma = compiled.memory_analysis()
+        if isinstance(ma, (list, tuple)):
+            ma = ma[0]
+        return float(ma.temp_size_in_bytes)
+    except Exception:
+        return 0.0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("config")
@@ -76,6 +90,10 @@ def main(argv=None):
     ap.add_argument("--det-size", type=int)
     ap.add_argument("--seg-bs", type=int)
     ap.add_argument("--seg-size", type=int)
+    from rscotr_tpu.config import DictAction
+    ap.add_argument("--cfg-options", nargs="+", action=DictAction.action(),
+                    help="dotted config overrides, e.g. "
+                         "model.shared_encoder.with_cp=True")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -90,6 +108,8 @@ def main(argv=None):
     from rscotr_tpu.models import build_model
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(args.cfg_options)
     cfg = load_data_cfg(cfg)
     model = build_model(cfg.model)
 
@@ -194,7 +214,9 @@ def main(argv=None):
             ms, _ = timeit(lambda p, b: f(p, *infer_args[t](b)), batches,
                            params)
         entry = {"infer_ms": round(ms, 3),
-                 "infer_gflops": round(fl / 1e9, 2)}
+                 "infer_gflops": round(fl / 1e9, 2),
+                 "infer_temp_mb": round(_temp_bytes_of(compiled) / 2**20,
+                                        1)}
         if peak:
             entry["infer_mfu"] = round(fl / (ms / 1e3) / peak, 4)
         report["tasks"][t] = entry
@@ -236,6 +258,8 @@ def main(argv=None):
                 ms, _ = timeit(run, batches, params, opt_state)
             report["tasks"][t]["train_ms"] = round(ms, 3)
             report["tasks"][t]["train_gflops"] = round(fl / 1e9, 2)
+            report["tasks"][t]["train_temp_mb"] = round(
+                _temp_bytes_of(compiled) / 2**20, 1)
             if peak:
                 report["tasks"][t]["train_mfu"] = round(
                     fl / (ms / 1e3) / peak, 4)
