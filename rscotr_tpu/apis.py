@@ -354,9 +354,26 @@ def train_model(cfg, work_dir: str, seed: int = 0,
         logger.info("resumed from %s @ iter %d", resume_from, start_step)
 
     if mesh is not None:
-        from rscotr_tpu.parallel import replicate_global
-        params = replicate_global(params, mesh)
-        opt_state = replicate_global(opt_state, mesh)
+        par_cfg = cfg.get("parallel", {}) or {}
+        if par_cfg.get("fsdp"):
+            # ZeRO/FSDP: params + Adam moments sharded over 'data' (see
+            # parallel/fsdp.py) — per-device state memory ~1/world_size,
+            # update math identical to replicated DP.
+            from rscotr_tpu.parallel import (describe_fsdp,
+                                             fsdp_param_specs,
+                                             shard_opt_state_fsdp,
+                                             shard_params_fsdp)
+            kw = {}
+            if par_cfg.get("fsdp_min_leaf_size") is not None:
+                kw["min_leaf_size"] = int(par_cfg["fsdp_min_leaf_size"])
+            logger.info(describe_fsdp(params["params"], mesh, **kw))
+            inner_specs = fsdp_param_specs(params["params"], mesh, **kw)
+            params = shard_params_fsdp(params, mesh, **kw)
+            opt_state = shard_opt_state_fsdp(opt_state, inner_specs, mesh)
+        else:
+            from rscotr_tpu.parallel import replicate_global
+            params = replicate_global(params, mesh)
+            opt_state = replicate_global(opt_state, mesh)
 
     runner = IterBasedRunner(steps, params, opt_state, max_iters,
                              rng_seed=seed, start_step=start_step,

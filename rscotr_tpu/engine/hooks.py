@@ -131,6 +131,7 @@ class CheckpointHook(Hook):
         self.work_dir = work_dir
         self.meta = meta or {}
         self.max_keep_ckpts = max_keep_ckpts
+        self._last_saved = -1
 
     def _prune(self, current_step: int) -> None:
         if self.max_keep_ckpts <= 0:
@@ -150,15 +151,28 @@ class CheckpointHook(Hook):
                 get_root_logger().exception(
                     "checkpoint prune failed for iter_%d", s)
 
+    def _save(self, runner) -> None:
+        import jax
+        if jax.process_index() != 0:
+            return
+        save_checkpoint(self.work_dir, runner.step, runner.params,
+                        runner.opt_state, meta=self.meta)
+        self._last_saved = runner.step
+        self._prune(runner.step)
+
     def after_train_iter(self, runner) -> None:
         if runner.step % self.interval == 0 or \
                 runner.step == runner.max_iters:
-            import jax
-            if jax.process_index() != 0:
-                return
-            save_checkpoint(self.work_dir, runner.step, runner.params,
-                            runner.opt_state, meta=self.meta)
-            self._prune(runner.step)
+            self._save(runner)
+
+    def after_run(self, runner) -> None:
+        """Preemption (runner caught SIGTERM): write the off-interval final
+        checkpoint so --auto-resume loses zero steps."""
+        if getattr(runner, "preempted", False) and \
+                self._last_saved != runner.step and runner.step > 0:
+            get_root_logger().info(
+                "preemption checkpoint @ iter %d", runner.step)
+            self._save(runner)
 
 
 class KeyIndicator:

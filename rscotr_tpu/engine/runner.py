@@ -16,7 +16,13 @@ Capability-equivalent of mmcv IterBasedRunner driving
   reference's DDP all-reduce, multitask_learner.py:289-304);
 * hooks fire after each step (log/checkpoint/eval);
 * optional ``jax.profiler`` trace window (``profile_cfg`` with
-  ``start``/``end`` steps and ``logdir``).
+  ``start``/``end`` steps and ``logdir``);
+* preemption-safe: SIGTERM (the TPU-VM preemption notice; also what
+  SLURM/k8s send before a kill) stops the loop at the next step boundary
+  and CheckpointHook writes a final checkpoint, so ``--auto-resume``
+  continues from the preempted iter instead of the last interval save.
+  The reference has no equivalent (SURVEY.md §5.3 — recovery is
+  interval-checkpoint auto-resume only).
 """
 
 from __future__ import annotations
@@ -47,7 +53,8 @@ class IterBasedRunner:
                  mesh=None, prefetch: int = 2,
                  profile_cfg: Optional[dict] = None,
                  scan_steps: Optional[Dict[str, Callable]] = None,
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1,
+                 handle_preemption: bool = True):
         self.train_steps = train_steps
         self.params = params
         self.opt_state = opt_state
@@ -62,6 +69,8 @@ class IterBasedRunner:
         self.profile_cfg = dict(profile_cfg or {})
         self.scan_steps = scan_steps or {}
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        self.handle_preemption = handle_preemption
+        self.preempted = False
         if self.steps_per_dispatch > 1:
             missing = [t for t in train_steps if t not in self.scan_steps]
             assert not missing, \
@@ -133,17 +142,44 @@ class IterBasedRunner:
             jax.profiler.stop_trace()
             self.logger.info("profiler: stop_trace")
 
+    def _install_sigterm(self):
+        """SIGTERM -> finish the current step, checkpoint, exit cleanly.
+        Returns a restore callable (no-op when not installable: non-main
+        thread, or handling disabled)."""
+        import signal
+        import threading
+
+        if not self.handle_preemption or \
+                threading.current_thread() is not threading.main_thread():
+            return lambda: None
+
+        def _on_sigterm(signum, frame):
+            self.preempted = True
+            self.logger.warning(
+                "SIGTERM received — stopping at the next step boundary "
+                "and writing a checkpoint (resume with --auto-resume)")
+
+        prev = signal.signal(signal.SIGTERM, _on_sigterm)
+        return lambda: signal.signal(signal.SIGTERM, prev)
+
     def run(self, multi_loader) -> None:
         self.logger.info("start training: iter %d -> %d", self.step,
                          self.max_iters)
         for h in self._hooks:
             h.before_run(self)
-        if self.steps_per_dispatch > 1:
-            self._run_scanned(multi_loader)
-            return
+        restore = self._install_sigterm()
+        try:
+            if self.steps_per_dispatch > 1:
+                self._run_scanned(multi_loader)
+            else:
+                self._run_per_iter(multi_loader)
+        finally:
+            restore()
+
+    def _run_per_iter(self, multi_loader) -> None:
         it = self._make_iter(multi_loader)
         t_last = time.perf_counter()
-        while self.step < self.max_iters:
+        while self.step < self.max_iters and not self.preempted:
             try:
                 batch = next(it)
             except StopIteration:
@@ -173,7 +209,9 @@ class IterBasedRunner:
                 h.after_train_iter(self)
         for h in self._hooks:
             h.after_run(self)
-        self.logger.info("training finished at iter %d", self.step)
+        self.logger.info("training %s at iter %d",
+                         "preempted" if self.preempted else "finished",
+                         self.step)
 
     # ------------------------------------------------------------------
     # K-step scanned dispatch (steps_per_dispatch > 1)
@@ -254,7 +292,7 @@ class IterBasedRunner:
         state = {"it": self._make_iter(multi_loader),
                  "buf": collections.deque()}
         t_last = time.perf_counter()
-        while self.step < self.max_iters:
+        while self.step < self.max_iters and not self.preempted:
             k_eff = min(K, self._hook_boundary())
             (task, dataset_name), group = self._next_group(
                 state, multi_loader, k_eff)
@@ -285,4 +323,6 @@ class IterBasedRunner:
             t_last = time.perf_counter()
         for h in self._hooks:
             h.after_run(self)
-        self.logger.info("training finished at iter %d", self.step)
+        self.logger.info("training %s at iter %d",
+                         "preempted" if self.preempted else "finished",
+                         self.step)

@@ -152,6 +152,80 @@ class TestCustomHooks:
         NumClassCheckHook().before_run(runner)
 
 
+class TestPreemption:
+    def test_sigterm_checkpoints_and_stops(self, tmp_path):
+        """SIGTERM mid-run (the TPU-VM preemption notice) stops the loop at
+        the next step boundary and CheckpointHook writes an off-interval
+        final checkpoint, so --auto-resume loses zero steps (the reference
+        can only resume from its last interval save)."""
+        import signal
+
+        from rscotr_tpu.engine import CheckpointHook, find_latest_checkpoint
+        from rscotr_tpu.engine.hooks import Hook
+        from rscotr_tpu.engine.runner import IterBasedRunner
+
+        def fake_step(params, opt_state, batch, rng):
+            return params, opt_state, {"loss": np.float32(0.0)}
+
+        class LoopingLoader:
+            def __iter__(self):
+                return ({"task": "cls", "dataset_name": "d",
+                         "x": np.zeros(1, np.float32)}
+                        for _ in range(100))
+
+            def seed_sampler(self, epoch):
+                pass
+
+        class SendSigterm(Hook):
+            def after_train_iter(self, runner):
+                if runner.step == 2:
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+        wd = str(tmp_path / "wd")
+        prev = signal.getsignal(signal.SIGTERM)
+        runner = IterBasedRunner(
+            {"cls": fake_step}, params={"w": np.zeros(3, np.float32)},
+            opt_state=None, max_iters=50, prefetch=0)
+        runner.register_hook(SendSigterm())
+        runner.register_hook(CheckpointHook(interval=100, work_dir=wd))
+        runner.run(LoopingLoader())
+
+        assert runner.preempted
+        assert runner.step == 2            # stopped at the step boundary
+        latest = find_latest_checkpoint(wd)
+        assert latest and latest.endswith("iter_2")
+        # the original handler is restored after run()
+        assert signal.getsignal(signal.SIGTERM) is prev
+
+    def test_clean_finish_is_not_preempted(self, tmp_path):
+        from rscotr_tpu.engine import CheckpointHook
+        from rscotr_tpu.engine.runner import IterBasedRunner
+
+        def fake_step(params, opt_state, batch, rng):
+            return params, opt_state, {"loss": np.float32(0.0)}
+
+        class LoopingLoader:
+            def __iter__(self):
+                return ({"task": "cls", "dataset_name": "d",
+                         "x": np.zeros(1, np.float32)}
+                        for _ in range(100))
+
+            def seed_sampler(self, epoch):
+                pass
+
+        wd = str(tmp_path / "wd")
+        hook = CheckpointHook(interval=100, work_dir=wd)
+        runner = IterBasedRunner(
+            {"cls": fake_step}, params={"w": np.zeros(3, np.float32)},
+            opt_state=None, max_iters=3, prefetch=0)
+        runner.register_hook(hook)
+        runner.run(LoopingLoader())
+        assert not runner.preempted and runner.step == 3
+        # max_iters save happened in after_train_iter; after_run adds none
+        kept = sorted(d for d in os.listdir(wd) if d.startswith("iter_"))
+        assert kept == ["iter_3"]
+
+
 class TestFp16Mapping:
     def test_fp16_cfg_maps_to_bf16_compute(self):
         """The reference's optional fp16 AMP config key enables the

@@ -128,6 +128,73 @@ def test_tp_dp_step_matches_single_device(cls_setup):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fsdp_step_matches_single_device(cls_setup, cpu_mesh):
+    """ZeRO/FSDP placement (params + Adam moments sharded over 'data',
+    parallel/fsdp.py): the train step must reproduce the single-device
+    trajectory, each device must hold only a fraction of the big param
+    leaves, and the UPDATED params must come back still FSDP-sharded
+    (else the memory saving dies after one step)."""
+    from rscotr_tpu.parallel import (describe_fsdp, fsdp_param_specs,
+                                     shard_opt_state_fsdp,
+                                     shard_params_fsdp)
+
+    params, opt_state, step = cls_setup
+    batch = _batch(8)
+    rng = jax.random.key(11)
+    with jax.default_matmul_precision("highest"):
+        p1, o1, l1 = step(params, opt_state, batch, rng)
+        jax.block_until_ready(l1["loss"])
+
+        inner_specs = fsdp_param_specs(params["params"], cpu_mesh)
+        sharded_specs = [s for s in jax.tree.leaves(
+            inner_specs, is_leaf=lambda x: isinstance(x, NamedSharding))
+            if any(s.spec or ())]
+        assert len(sharded_specs) >= 10, "FSDP sharded almost nothing"
+
+        params_f = shard_params_fsdp(params, cpu_mesh)
+        opt_f = shard_opt_state_fsdp(opt_state, inner_specs, cpu_mesh)
+        # each device holds ~1/8 of a sharded leaf
+        big = max(jax.tree.leaves(params_f["params"]), key=lambda x: x.size)
+        assert len(big.sharding.addressable_devices) == 8
+        assert big.addressable_shards[0].data.size == big.size // 8
+
+        shard = NamedSharding(cpu_mesh, P("data"))
+        batch_s = {k: jax.device_put(v, shard) for k, v in batch.items()}
+        p2, o2, l2 = step(params_f, opt_f, batch_s, rng)
+        jax.block_until_ready(l2["loss"])
+
+        # two more steps to prove the carried state STAYS sharded
+        p3, o3, _ = step(p2, o2, batch_s, jax.random.key(12))
+        big2 = max(jax.tree.leaves(p3["params"]), key=lambda x: x.size)
+        assert not big2.sharding.is_fully_replicated
+
+    np.testing.assert_allclose(float(l1["loss"]), float(l2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert "MB/device" in describe_fsdp(params["params"], cpu_mesh)
+
+
+def test_fsdp_specs_compose_with_tp():
+    """On a 2-D mesh, FSDP adds the 'data' axis on a dim the TP spec left
+    free — never on one already sharded over 'model'."""
+    from rscotr_tpu.parallel import (fsdp_param_specs, make_mesh_2d,
+                                     tp_param_specs)
+
+    mesh = make_mesh_2d(4, 2)
+    params = {"enc/ffn/fc0/kernel": np.zeros((256, 1024), np.float32),
+              "small/bias": np.zeros((8,), np.float32),
+              "plain/kernel": np.zeros((512, 512), np.float32)}
+    base = tp_param_specs(params, mesh)
+    specs = fsdp_param_specs(params, mesh, base_specs=base)
+    got = {k: s.spec for k, s in specs.items()}
+    # TP already shards fc0's dim 1 over 'model'; FSDP takes dim 0
+    assert got["enc/ffn/fc0/kernel"] == P("data", "model")
+    assert got["small/bias"] == P()          # below min leaf size
+    assert got["plain/kernel"] == P("data")  # largest free dim
+
+
 def test_runner_places_batch_on_mesh(cls_setup, cpu_mesh):
     from rscotr_tpu.engine.runner import IterBasedRunner
 
