@@ -314,6 +314,13 @@ def train_model(cfg, work_dir: str, seed: int = 0,
     if sched["epoch_based"]:
         logger.info("EpochBasedRunner config: %d iters/epoch -> "
                     "max_iters %d", epoch_len, max_iters)
+    if cfg.get("momentum_config"):
+        # mmcv pairs momentum schedules with SGD one-cycle recipes; every
+        # reference config trains AdamW with no momentum schedule
+        # (mtl/apis/train.py:82 passes None). Warn instead of silently
+        # accepting a schedule we don't apply to beta1.
+        logger.warning("momentum_config is not supported (AdamW beta1 is "
+                       "constant); ignoring %s", cfg.momentum_config)
     optimizer = build_optimizer(
         cfg.optimizer, params["params"], lr_config=sched["lr_config"],
         grad_clip=(cfg.get("optimizer_config", {}) or {}).get("grad_clip"))

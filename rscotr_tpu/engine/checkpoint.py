@@ -21,18 +21,49 @@ def _ckpt_dir(work_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(work_dir), f"iter_{step}")
 
 
+def gather_to_host(tree):
+    """Device pytree -> full host-numpy pytree on EVERY process.
+
+    Single-host (or plain numpy) leaves convert directly. Multi-host
+    global arrays are not fully addressable: replicated leaves read the
+    local replica; cross-host-sharded leaves (FSDP params / moments) are
+    ``process_allgather``'d — a COLLECTIVE, so when ``process_count > 1``
+    every process must call this (and therefore ``save_checkpoint``)."""
+    from jax.experimental import multihost_utils
+
+    def _one(x):
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        return multihost_utils.process_allgather(x, tiled=True)
+
+    return jax.tree.map(_one, tree)
+
+
 def save_checkpoint(work_dir: str, step: int, params, opt_state=None,
                     meta: Optional[Dict[str, Any]] = None,
                     name: Optional[str] = None) -> str:
+    """Write ``work_dir/iter_{step}`` (or ``work_dir/{name}``).
+
+    Multi-host: EVERY process must call this (the host gather is a
+    collective); only process 0 touches the filesystem. All processes
+    return the checkpoint path."""
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(work_dir), name) if name \
         else _ckpt_dir(work_dir, step)
-    ckptr = ocp.PyTreeCheckpointer()
     state = {"params": params}
     if opt_state is not None:
         state["opt_state"] = opt_state
+    state = gather_to_host(state)
+    # every process calls save (orbax syncs processes internally and the
+    # primary writes — gating to process 0 would deadlock its barriers);
+    # plain meta/pointer files are process-0-only ordinary IO
+    ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, state, force=True)
+    if jax.process_index() != 0:
+        return path
     meta = dict(meta or {})
     meta["iter"] = int(step)
     with open(os.path.join(path, "meta.json"), "w") as f:

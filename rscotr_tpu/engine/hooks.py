@@ -152,13 +152,14 @@ class CheckpointHook(Hook):
                     "checkpoint prune failed for iter_%d", s)
 
     def _save(self, runner) -> None:
+        # all processes call save_checkpoint (the host gather inside is a
+        # collective); only process 0 writes + prunes
         import jax
-        if jax.process_index() != 0:
-            return
         save_checkpoint(self.work_dir, runner.step, runner.params,
                         runner.opt_state, meta=self.meta)
         self._last_saved = runner.step
-        self._prune(runner.step)
+        if jax.process_index() == 0:
+            self._prune(runner.step)
 
     def after_train_iter(self, runner) -> None:
         if runner.step % self.interval == 0 or \
@@ -221,13 +222,13 @@ class MultiDatasetsEvalHook(Hook):
             score = self.indicator(metrics)
             if score > self.best_score:
                 self.best_score = score
-                import jax
-                if jax.process_index() == 0:
-                    save_checkpoint(self.work_dir, runner.step,
-                                    runner.params,
-                                    meta={"best_score": score,
-                                          "metrics": metrics},
-                                    name="best_checkpoint")
+                # every process calls (collective host gather inside);
+                # process 0 writes
+                save_checkpoint(self.work_dir, runner.step,
+                                runner.params,
+                                meta={"best_score": score,
+                                      "metrics": metrics},
+                                name="best_checkpoint")
                 self.logger.info("new best score %.4f @ iter %d", score,
                                  runner.step)
 

@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--global-batch", type=int, default=8)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard params + moments over 'data' "
+                         "(parallel/fsdp.py) instead of replicating")
     args = ap.parse_args()
 
     for k in list(os.environ):
@@ -59,16 +62,21 @@ def main():
     from rscotr_tpu.parallel import make_mesh, replicate_global
 
     class MiniCls(nn.Module):
+        # hidden width divisible by the device count so the FSDP variant
+        # actually shards both kernels (3x64 on dim 1, 64x7 on dim 0)
         num_classes: int = 7
+        hidden: int = 64
 
         def setup(self):
+            self.proj = nn.Dense(self.hidden)
             self.head = nn.Dense(self.num_classes)
 
         def __call__(self, img, deterministic=True):
             return self.forward_cls(img, deterministic)
 
         def forward_cls(self, img, deterministic=True):
-            return self.head(img.mean(axis=(1, 2)))
+            h = nn.relu(self.proj(img.mean(axis=(1, 2))))
+            return self.head(h)
 
     class Ds:
         task = "cls"
@@ -109,8 +117,16 @@ def main():
     opt_state = opt.init(params["params"])
 
     mesh = make_mesh()
-    params = replicate_global(params, mesh)
-    opt_state = replicate_global(opt_state, mesh)
+    if args.fsdp:
+        from rscotr_tpu.parallel import (fsdp_param_specs,
+                                         shard_opt_state_fsdp,
+                                         shard_params_fsdp)
+        specs = fsdp_param_specs(params["params"], mesh, min_leaf_size=1)
+        params = shard_params_fsdp(params, mesh, min_leaf_size=1)
+        opt_state = shard_opt_state_fsdp(opt_state, specs, mesh)
+    else:
+        params = replicate_global(params, mesh)
+        opt_state = replicate_global(opt_state, mesh)
 
     steps = {"cls": make_train_step(model, opt, "cls", cfg, donate=False)}
     losses = []
@@ -134,11 +150,17 @@ def main():
         runner.register_hook(LossTap())
         runner.run(ml)
 
-    final = jax.tree.map(
-        lambda x: np.asarray(x.addressable_data(0)), runner.params)
+    # full host values on every process (collective for FSDP shards)
+    from rscotr_tpu.engine.checkpoint import gather_to_host, save_checkpoint
+    final = gather_to_host(runner.params)
+    # exercise the multi-host checkpoint path: every process calls (the
+    # gather inside is a collective), process 0 writes
+    ckpt = save_checkpoint(os.path.abspath(args.out) + "_wd",
+                           runner.step, runner.params, runner.opt_state)
     if jax.process_index() == 0:
         with open(args.out, "wb") as f:
-            pickle.dump({"losses": losses, "params": final}, f)
+            pickle.dump({"losses": losses, "params": final,
+                         "ckpt": ckpt}, f)
     # multi-process teardown can hang on this host; results are on disk
     if args.num_processes > 1:
         try:

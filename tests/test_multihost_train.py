@@ -132,14 +132,15 @@ class TestTwoProcessTrajectory:
         with open(out, "rb") as f:
             return pickle.load(f)
 
-    def _run_double(self, tmp_path, port):
-        outs = [str(tmp_path / f"p{r}.pkl") for r in (0, 1)]
+    def _run_double(self, tmp_path, port, tag="p", extra=()):
+        outs = [str(tmp_path / f"{tag}{r}.pkl") for r in (0, 1)]
         env = {k: v for k, v in os.environ.items()
                if not k.startswith(("XLA_FLAGS", "JAX_PLATFORMS"))}
         procs = [subprocess.Popen(
             [sys.executable, HELPER, "--num-processes", "2",
              "--process-id", str(r), "--local-devices", "4",
-             "--coordinator", f"localhost:{port}", "--out", outs[r]],
+             "--coordinator", f"localhost:{port}", "--out", outs[r],
+             *extra],
             env=env) for r in (0, 1)]
         deadline = time.time() + 900
         for p in procs:
@@ -148,13 +149,32 @@ class TestTwoProcessTrajectory:
         with open(outs[0], "rb") as f:
             return pickle.load(f)
 
+    @staticmethod
+    def _assert_params_match(single, run):
+        for mod in ("proj", "head"):
+            s_leaves = sorted(single["params"]["params"][mod].items())
+            d_leaves = sorted(run["params"]["params"][mod].items())
+            for (k1, a), (k2, b) in zip(s_leaves, d_leaves):
+                assert k1 == k2
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
     def test_two_process_matches_single(self, tmp_path):
         single = self._run_single(tmp_path)
         double = self._run_double(tmp_path, port=19731)
         np.testing.assert_allclose(single["losses"], double["losses"],
                                    rtol=1e-4, atol=1e-6)
-        s_leaves = sorted(single["params"]["params"]["head"].items())
-        d_leaves = sorted(double["params"]["params"]["head"].items())
-        for (k1, a), (k2, b) in zip(s_leaves, d_leaves):
-            assert k1 == k2
-            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        self._assert_params_match(single, double)
+
+        # FSDP variant: params + Adam moments sharded over 'data' across
+        # BOTH processes — trajectory must be identical, and the 2-process
+        # checkpoint save (collective host gather, proc-0 write) must
+        # round-trip the same params
+        fsdp = self._run_double(tmp_path, port=19733, tag="f",
+                                extra=("--fsdp",))
+        np.testing.assert_allclose(single["losses"], fsdp["losses"],
+                                   rtol=1e-4, atol=1e-6)
+        self._assert_params_match(single, fsdp)
+        from rscotr_tpu.engine.checkpoint import load_checkpoint
+        ck = load_checkpoint(fsdp["ckpt"])
+        self._assert_params_match(single, ck)
+        assert ck["meta"]["iter"] == 4
