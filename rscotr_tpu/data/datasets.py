@@ -55,6 +55,18 @@ class BaseDataset:
     def evaluate(self, results, **kwargs) -> Dict[str, float]:
         raise NotImplementedError
 
+    def format_results(self, results, out_dir: str, **kwargs):
+        """mm-style ``format_results`` fallback (tools/test.py
+        --format-only): datasets with a real submission format (COCO det
+        json, seg label maps) override this; everything else dumps the raw
+        results pickle."""
+        import pickle
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{self.task or 'raw'}_results.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(results, f)
+        return [path]
+
 
 # ---------------------------------------------------------------------------
 # Classification
@@ -148,6 +160,10 @@ class CocoDetDataset(BaseDataset):
                 coco = json.load(f)
             cats = {c["id"]: c["name"] for c in coco["categories"]}
             name2label = {n: i for i, n in enumerate(self.CLASSES)}
+            # label -> original COCO category id, for submission-format
+            # result dumps (format_results)
+            self.label2cat = {name2label[n]: cid
+                              for cid, n in cats.items() if n in name2label}
             imgs = {im["id"]: im for im in coco["images"]}
             anns_per_img: Dict[int, list] = {}
             for a in coco["annotations"]:
@@ -164,6 +180,7 @@ class CocoDetDataset(BaseDataset):
                 if filter_empty_gt and not bboxes:
                     continue
                 self.data_infos.append({
+                    "id": img_id,
                     "filename": im["file_name"],
                     "width": im["width"], "height": im["height"],
                     "bboxes": np.asarray(bboxes, np.float32).reshape(-1, 4),
@@ -191,6 +208,30 @@ class CocoDetDataset(BaseDataset):
                         num_classes=len(self.CLASSES),
                         iou_thrs=list(iou_thrs), max_dets=300,
                         class_names=self.CLASSES if classwise else None)
+
+    def format_results(self, results, out_dir: str, **kwargs):
+        """COCO detection submission json (mmdet
+        CocoDataset.format_results capability —
+        /root/reference/tools/test.py:44-47 --format-only): one record per
+        box, xyxy -> xywh, labels mapped back to the annotation file's
+        category ids."""
+        os.makedirs(out_dir, exist_ok=True)
+        dets = []
+        for info, per_cls in zip(self.data_infos, results):
+            for label, arr in enumerate(per_cls):
+                for x1, y1, x2, y2, s in np.asarray(
+                        arr, np.float64).reshape(-1, 5):
+                    dets.append({
+                        "image_id": info["id"],
+                        "category_id": int(self.label2cat.get(
+                            label, label + 1)),
+                        "bbox": [float(x1), float(y1),
+                                 float(x2 - x1), float(y2 - y1)],
+                        "score": float(s)})
+        path = os.path.join(out_dir, "det_results.bbox.json")
+        with open(path, "w") as f:
+            json.dump(dets, f)
+        return [path]
 
 
 @DATASETS.register_module(name="SyntheticDetDataset")
@@ -302,6 +343,28 @@ class PotsdamDataset(BaseDataset):
         metric = [metric] if isinstance(metric, str) else list(metric)
         return evaluate_seg(results, metrics=metric,
                             class_names=self.CLASSES if classwise else None)
+
+    def format_results(self, results, out_dir: str, **kwargs):
+        """Per-tile predicted label maps as PNGs named like the source
+        tiles (mmseg format_results capability). With
+        ``reduce_zero_label`` labels shift back +1 so the files round-trip
+        through this loader — and, carrying the tile position encoding in
+        their names, they feed ``tools/seg_puzzles`` scene stitching
+        directly."""
+        from PIL import Image
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for info, pred in zip(self.img_infos, results):
+            if isinstance(pred, tuple):     # pre_eval tuples carry no map
+                raise ValueError("format_results needs label maps; rerun "
+                                 "inference without pre_eval collapsing")
+            lab = np.asarray(pred).astype(np.uint8)
+            if self.reduce_zero_label:
+                lab = lab + 1
+            path = os.path.join(out_dir, info["seg"])
+            Image.fromarray(lab).save(path)
+            paths.append(path)
+        return paths
 
 
 @DATASETS.register_module(name="SyntheticSegDataset")

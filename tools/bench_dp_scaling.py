@@ -163,7 +163,7 @@ def bench_loader_only(cfg, datasets, world_size, draws, logger):
     return draws / dt, imgs / dt
 
 
-def bench_train(cfg, n_devices, iters, warmup, logger):
+def bench_train(cfg, n_devices, iters, warmup, logger, fsdp=False):
     import numpy as np
     import jax
 
@@ -190,8 +190,16 @@ def bench_train(cfg, n_devices, iters, warmup, logger):
     if n_devices > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh = make_mesh(n_devices)
-        params = replicate_global(params, mesh)
-        opt_state = replicate_global(opt_state, mesh)
+        if fsdp:
+            from rscotr_tpu.parallel import (fsdp_param_specs,
+                                             shard_opt_state_fsdp,
+                                             shard_params_fsdp)
+            specs = fsdp_param_specs(params["params"], mesh)
+            params = shard_params_fsdp(params, mesh)
+            opt_state = shard_opt_state_fsdp(opt_state, specs, mesh)
+        else:
+            params = replicate_global(params, mesh)
+            opt_state = replicate_global(opt_state, mesh)
         sharding = NamedSharding(mesh, P("data"))
 
     datasets = build_datasets(cfg.data, split="train")
@@ -246,6 +254,9 @@ def main(argv=None):
     ap.add_argument("--devices", type=int, nargs="+",
                     default=[1, 2, 4, 8])
     ap.add_argument("--loader-draws", type=int, default=30)
+    ap.add_argument("--fsdp", action="store_true",
+                    help="also measure with params + Adam moments sharded "
+                         "over the data axis (parallel/fsdp.py)")
     args = ap.parse_args(argv)
 
     logger = get_root_logger()
@@ -278,6 +289,17 @@ def main(argv=None):
                                         else v) for k, v in r.items()}
         logger.info("train n=%d: %.3f steps/s, %.1f img/s, %s",
                     n, r["steps_per_s"], r["img_per_s"], r["per_task_ms"])
+    if args.fsdp:
+        results["train_fsdp"] = {}
+        for n in [d for d in args.devices if d > 1]:
+            r = bench_train(cfg, n, args.iters, args.warmup, logger,
+                            fsdp=True)
+            results["train_fsdp"][str(n)] = {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in r.items()}
+            logger.info("train fsdp n=%d: %.3f steps/s, %.1f img/s, %s",
+                        n, r["steps_per_s"], r["img_per_s"],
+                        r["per_task_ms"])
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

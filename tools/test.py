@@ -43,6 +43,27 @@ def parse_args(argv=None):
                    help="det score threshold for painted boxes")
     p.add_argument("--max-batches", type=int, default=0)
     p.add_argument("--cfg-options", nargs="+", action=DictAction.action())
+    p.add_argument("--work-dir",
+                   help="directory for evaluation metrics / formatted "
+                        "results (reference tools/test.py:33-34)")
+    p.add_argument("--eval", nargs="+",
+                   help="metric names passed to dataset.evaluate "
+                        "(e.g. bbox / mIoU mFscore / accuracy)")
+    p.add_argument("--format-only", action="store_true",
+                   help="write submission-format results (COCO det json, "
+                        "seg label PNGs) and skip evaluation")
+    p.add_argument("--launcher", default="none",
+                   choices=["none", "jax", "pytorch", "slurm", "mpi"],
+                   help="multi-host eval init (jax.distributed; results "
+                        "gather via process_allgather)")
+    # accepted for reference command-line compatibility; device selection
+    # and result collection are JAX-native here
+    p.add_argument("--gpu-id", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--gpu-collect", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("--tmpdir", help=argparse.SUPPRESS)
+    p.add_argument("--local_rank", type=int, default=0,
+                   help=argparse.SUPPRESS)
     return p.parse_args(argv)
 
 
@@ -53,7 +74,12 @@ def main(argv=None):
         cfg.merge_from_dict(args.cfg_options)
     cfg = load_data_cfg(cfg, config_root=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
-    logger = get_root_logger()
+    if args.launcher != "none":
+        from rscotr_tpu.parallel import initialize_distributed
+        initialize_distributed(args.launcher)
+    log_file = (os.path.join(args.work_dir, "test.log")
+                if args.work_dir else None)
+    logger = get_root_logger(log_file)
 
     # task subset filter (reference test.py:30-31,153-158)
     for name in list(cfg.data.keys()):
@@ -100,16 +126,38 @@ def main(argv=None):
         # show_dir) -> MTL.show_result; headless TPU hosts always paint
         # to disk
         from rscotr_tpu.utils import save_eval_visualizations
-        show_dir = args.show_dir or "painted"
+        show_dir = args.show_dir or os.path.join(args.work_dir or ".",
+                                                 "painted")
         n = save_eval_visualizations(datasets, results, show_dir,
                                      score_thr=args.show_score_thr)
         logger.info("painted %d result images into %s", n, show_dir)
 
+    if args.format_only:
+        # reference tools/test.py:44-47,206-208: write submission-format
+        # results and skip evaluation
+        out_dir = args.work_dir or "formatted"
+        for name, ds in datasets.items():
+            paths = ds.format_results(results.get(name, []), out_dir)
+            logger.info("formatted %s -> %s", name,
+                        paths[0] if len(paths) == 1
+                        else f"{len(paths)} files in {out_dir}")
+        return
+
     eval_kwargs = {t: dict(cfg.get("evaluation", {}).get(t, {}))
                    for t in ("cls", "det", "seg")}
+    if args.eval:
+        # explicit metric names (reference tools/test.py:48-53); applied
+        # to every selected task — pair with --tasks for per-task metrics
+        for t in args.tasks:
+            kw = eval_kwargs.setdefault(t, {})
+            kw["metric"] = (args.eval[0] if len(args.eval) == 1
+                            else tuple(args.eval))
     metrics = evaluate_results(datasets, results, eval_kwargs)
     logger.info("metrics: %s", json.dumps(metrics, indent=2))
-    out_path = args.eval_out or "eval_metrics.json"
+    out_path = args.eval_out or (
+        os.path.join(args.work_dir, "eval_metrics.json")
+        if args.work_dir else "eval_metrics.json")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(metrics, f, indent=2)
     logger.info("metrics written to %s", out_path)
