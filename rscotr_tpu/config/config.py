@@ -217,6 +217,33 @@ def replace_cfg_vals(tree: dict) -> dict:
     return resolve(tree)
 
 
+def import_modules_from_strings(imports, allow_failed_imports: bool = False):
+    """mmcv ``import_modules_from_strings`` equivalent: import modules by
+    dotted name for their registry-registration side effects. ``imports``
+    is one dotted name or a list; failures raise ImportError unless
+    ``allow_failed_imports`` (then warn and record None)."""
+    import importlib
+    import warnings
+    if not imports:
+        return []
+    single = isinstance(imports, str)
+    names = [imports] if single else list(imports)
+    modules = []
+    for name in names:
+        if not isinstance(name, str):
+            raise TypeError(f"custom import name must be str, got "
+                            f"{type(name).__name__}: {name!r}")
+        try:
+            modules.append(importlib.import_module(name))
+        except ImportError:
+            if not allow_failed_imports:
+                raise
+            warnings.warn(f"{name} failed to import and is ignored",
+                          UserWarning)
+            modules.append(None)
+    return modules[0] if single else modules
+
+
 class Config:
     """Composed configuration with attribute access.
 
@@ -235,10 +262,34 @@ class Config:
 
     # -- construction ------------------------------------------------------
     @staticmethod
-    def fromfile(path: str, resolve_vars: bool = True) -> "Config":
+    def fromfile(path: str, resolve_vars: bool = True,
+                 import_custom_modules: bool = True) -> "Config":
         tree = _load_file(path)
         if resolve_vars:
             tree = replace_cfg_vals(tree)
+        if import_custom_modules and tree.get("custom_imports"):
+            # mmcv Config.fromfile capability: a config can register its
+            # own modules (user datasets/models/hooks self-register with
+            # the registries on import) — reference configs carry
+            # custom_imports=dict(imports='models.multi', ...) for this
+            # (/root/reference/configs/multi/MTL_slvlcls_…&dior&potsdam
+            # .py:239-241). The key stays in the config, as in mmcv.
+            # Reference 'models.*' names (the reference repo's own model
+            # package) resolve to rscotr_tpu.models, whose import performs
+            # the same registrations — so unmodified reference configs run.
+            ci = dict(tree["custom_imports"])
+            imports = ci.get("imports") or []
+            names = [imports] if isinstance(imports, str) else list(imports)
+            mapped, seen = [], set()
+            for n in names:
+                if isinstance(n, str) and (n == "models"
+                                           or n.startswith("models.")):
+                    n = "rscotr_tpu.models"
+                if n not in seen:
+                    seen.add(n)
+                    mapped.append(n)
+            ci["imports"] = mapped
+            import_modules_from_strings(**ci)
         return Config(tree, filename=os.path.abspath(path))
 
     @staticmethod

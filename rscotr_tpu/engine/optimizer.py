@@ -32,10 +32,18 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 def make_lr_schedule(lr_config: Optional[dict], base_lr: float) -> Callable:
-    """mmcv lr_config -> step->lr function. Supports policy 'step', 'poly',
-    'fixed' and optional linear warmup."""
+    """mmcv lr_config -> step->lr function. Policies: 'step', 'poly',
+    'CosineAnnealing', 'exp', 'fixed' (mmcv LrUpdaterHook semantics,
+    by_epoch=False — the only mode the reference configs use), plus
+    linear/constant warmup. Warmup scales the REGULAR schedule lr at that
+    iter (mmcv `get_warmup_lr`), not the base lr. Unknown policies raise
+    instead of silently running fixed-lr."""
     lr_config = dict(lr_config or {})
     policy = lr_config.get("policy", "fixed")
+    known = ("fixed", "step", "poly", "CosineAnnealing", "exp")
+    if policy not in known:
+        raise ValueError(
+            f"lr_config policy {policy!r} not supported (have {known})")
     warmup = lr_config.get("warmup")
     warmup_iters = lr_config.get("warmup_iters", 0)
     warmup_ratio = lr_config.get("warmup_ratio", 0.1)
@@ -53,6 +61,21 @@ def make_lr_schedule(lr_config: Optional[dict], base_lr: float) -> Callable:
             max_iters = lr_config.get("max_iters", 1)
             frac = jnp.clip(step / max_iters, 0.0, 1.0)
             return (base_lr - min_lr) * (1 - frac) ** power + min_lr
+        if policy == "CosineAnnealing":
+            # mmcv CosineAnnealingLrUpdaterHook: anneal from base_lr to
+            # min_lr (or base_lr*min_lr_ratio) with
+            # end + 0.5*(start-end)*(1+cos(pi*t)) over max_iters
+            if lr_config.get("min_lr") is not None:
+                target = float(lr_config["min_lr"])
+            else:
+                target = base_lr * float(lr_config.get("min_lr_ratio", 0.0))
+            max_iters = lr_config.get("max_iters", 1)
+            frac = jnp.clip(step / max_iters, 0.0, 1.0)
+            return target + 0.5 * (base_lr - target) * (
+                1.0 + jnp.cos(jnp.pi * frac))
+        if policy == "exp":
+            gamma = lr_config.get("gamma", 1.0)
+            return base_lr * gamma ** step
         return jnp.asarray(base_lr)
 
     def sched(step):
@@ -60,9 +83,9 @@ def make_lr_schedule(lr_config: Optional[dict], base_lr: float) -> Callable:
         lr = base(step)
         if warmup == "linear" and warmup_iters > 0:
             w = 1.0 - (1.0 - step / warmup_iters) * (1.0 - warmup_ratio)
-            lr = jnp.where(step < warmup_iters, base_lr * w, lr)
+            lr = jnp.where(step < warmup_iters, lr * w, lr)
         elif warmup == "constant" and warmup_iters > 0:
-            lr = jnp.where(step < warmup_iters, base_lr * warmup_ratio, lr)
+            lr = jnp.where(step < warmup_iters, lr * warmup_ratio, lr)
         return lr
 
     return sched

@@ -158,3 +158,60 @@ def test_all_shipped_configs_compose_and_build():
         assert model is not None, p
         built += 1
     assert built >= 15  # flagship + variants + single-task + strategies
+
+
+class TestCustomImports:
+    """mmcv custom_imports capability (reference configs carry
+    custom_imports=dict(imports='models.multi', allow_failed_imports=False)
+    — /root/reference/configs/multi/MTL_slvlcls_…&dior&potsdam.py:239-241)."""
+
+    def test_user_module_imported_for_side_effects(self, tmp_path,
+                                                   monkeypatch):
+        import sys
+        mod = tmp_path / "my_plugin_mod.py"
+        mod.write_text("import os\nos.environ['_PLUGIN_LOADED'] = '1'\n")
+        monkeypatch.syspath_prepend(str(tmp_path))
+        monkeypatch.delenv("_PLUGIN_LOADED", raising=False)
+        p = write(tmp_path, "cfg.py", """
+custom_imports = dict(imports=['my_plugin_mod'],
+                      allow_failed_imports=False)
+x = 1
+""")
+        cfg = Config.fromfile(str(p))
+        assert os.environ.get("_PLUGIN_LOADED") == "1"
+        assert cfg.custom_imports["imports"] == ["my_plugin_mod"]  # kept
+        sys.modules.pop("my_plugin_mod", None)
+
+    def test_reference_models_names_alias(self, tmp_path):
+        # unmodified reference configs import 'models.*' (their own model
+        # package); those names must resolve to rscotr_tpu.models here
+        p = write(tmp_path, "cfg.py", """
+custom_imports = dict(
+    imports=['models.det.dino', 'models.det.dino_head'],
+    allow_failed_imports=False)
+x = 1
+""")
+        cfg = Config.fromfile(str(p))  # must not raise
+        assert cfg.x == 1
+
+    def test_failed_import_raises_or_warns(self, tmp_path):
+        import pytest
+        p = write(tmp_path, "cfg.py", """
+custom_imports = dict(imports='no_such_module_xyz',
+                      allow_failed_imports=False)
+""")
+        with pytest.raises(ImportError):
+            Config.fromfile(str(p))
+        p2 = write(tmp_path, "cfg2.py", """
+custom_imports = dict(imports='no_such_module_xyz',
+                      allow_failed_imports=True)
+""")
+        with pytest.warns(UserWarning):
+            Config.fromfile(str(p2))
+
+    def test_import_skippable(self, tmp_path):
+        p = write(tmp_path, "cfg.py", """
+custom_imports = dict(imports='no_such_module_xyz',
+                      allow_failed_imports=False)
+""")
+        Config.fromfile(str(p), import_custom_modules=False)

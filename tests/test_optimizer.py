@@ -55,6 +55,38 @@ class TestSchedule:
         assert 0.5 < float(s(5)) < 0.6
         np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-6)
 
+    def test_cosine_annealing(self):
+        # mmcv CosineAnnealingLrUpdaterHook math:
+        # end + 0.5*(start-end)*(1+cos(pi*t)), target = base*min_lr_ratio
+        # (the reference cls schedule, configs/_base_/cls/resisc_adamw_swin
+        # .py:21-24)
+        base, ratio, T = 1e-3, 1e-2, 1000
+        s = make_lr_schedule(dict(policy="CosineAnnealing",
+                                  min_lr_ratio=ratio, max_iters=T), base)
+        tgt = base * ratio
+        for it in (0, 250, 500, 999, 1000):
+            want = tgt + 0.5 * (base - tgt) * (1 + np.cos(np.pi * it / T))
+            np.testing.assert_allclose(float(s(it)), want, rtol=1e-5)
+        # explicit min_lr takes precedence over min_lr_ratio
+        s2 = make_lr_schedule(dict(policy="CosineAnnealing", min_lr=1e-6,
+                                   max_iters=T), base)
+        np.testing.assert_allclose(float(s2(T)), 1e-6, rtol=1e-5)
+
+    def test_warmup_scales_regular_lr(self):
+        # mmcv get_warmup_lr multiplies the REGULAR schedule lr at that
+        # iter, not base_lr: cosine + warmup must track the decayed lr
+        s = make_lr_schedule(dict(policy="CosineAnnealing", min_lr=0.0,
+                                  max_iters=100, warmup="linear",
+                                  warmup_iters=10, warmup_ratio=0.5), 1.0)
+        reg5 = 0.5 * (1 + np.cos(np.pi * 5 / 100))
+        w5 = 1.0 - (1.0 - 5 / 10) * (1.0 - 0.5)
+        np.testing.assert_allclose(float(s(5)), reg5 * w5, rtol=1e-5)
+
+    def test_unknown_policy_raises(self):
+        import pytest
+        with pytest.raises(ValueError, match="not supported"):
+            make_lr_schedule(dict(policy="cyclic"), 1e-3)
+
 
 class TestTaskMasks:
     def test_masks(self):
