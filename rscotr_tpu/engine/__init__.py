@@ -1,5 +1,7 @@
 from rscotr_tpu.engine.checkpoint import (find_latest_checkpoint,
-                                          load_checkpoint, save_checkpoint)
+                                          load_checkpoint,
+                                          resolve_checkpoint,
+                                          save_checkpoint)
 from rscotr_tpu.engine.hooks import (CheckpointHook, Hook, KeyIndicator,
                                      LogHook, MultiDatasetsEvalHook)
 from rscotr_tpu.engine.optimizer import (MtlOptimizer, build_optimizer,
@@ -17,6 +19,7 @@ from rscotr_tpu.engine.train_step import (TrainStepConfig, cls_batch_augment,
 
 __all__ = [
     "save_checkpoint", "load_checkpoint", "find_latest_checkpoint",
+    "resolve_checkpoint",
     "Hook", "LogHook", "CheckpointHook", "KeyIndicator",
     "MultiDatasetsEvalHook", "MtlOptimizer", "build_optimizer",
     "make_lr_schedule", "paramwise_multipliers", "task_param_masks",

@@ -68,15 +68,65 @@ def save_checkpoint(work_dir: str, step: int, params, opt_state=None,
     meta["iter"] = int(step)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, default=str)
-    latest = os.path.join(os.path.abspath(work_dir), "last_checkpoint")
-    with open(latest, "w") as f:
-        f.write(path)
+    if name is None:
+        # only regular iter_N saves move the auto-resume pointer — a
+        # best_checkpoint save is params-only and must not hijack resume
+        latest = os.path.join(os.path.abspath(work_dir), "last_checkpoint")
+        with open(latest, "w") as f:
+            f.write(path)
     return path
+
+
+def resolve_checkpoint(path: str) -> str:
+    """Resolve mm-style checkpoint aliases onto orbax dirs, so reference
+    command lines work verbatim (the reference README's test command
+    passes ``work_dir/latest.pth`` — /root/reference/README.md:99):
+
+    - an orbax checkpoint dir (``iter_N``/``best_checkpoint``): as-is
+    - a work_dir containing ``iter_*``/``last_checkpoint``: its latest
+    - ``…/latest[.pth]``: latest checkpoint in the parent dir
+    - ``…/best[…][.pth]``: ``best_checkpoint`` in the parent dir
+    - ``…/name.pth`` where ``…/name`` is a checkpoint dir: that dir
+    """
+    p = os.path.abspath(path)
+    if os.path.isdir(p):
+        entries = os.listdir(p)
+        if "last_checkpoint" in entries or any(
+                re.fullmatch(r"iter_\d+", d) for d in entries):
+            latest = find_latest_checkpoint(p)
+            if latest is None:
+                raise FileNotFoundError(
+                    f"no iter_* checkpoint inside work_dir {path}")
+            return latest
+        return p
+    base = os.path.basename(p)
+    stem = base[:-4] if base.endswith(".pth") else base
+    parent = os.path.dirname(p)
+    if stem == "latest":
+        latest = find_latest_checkpoint(parent)
+        if latest is not None:
+            return latest
+    elif stem.startswith("best"):
+        cand = os.path.join(parent, "best_checkpoint")
+        if os.path.isdir(cand):
+            return cand
+    cand = os.path.join(parent, stem)
+    if os.path.isdir(cand):
+        return cand
+    if os.path.isfile(p):
+        raise FileNotFoundError(
+            f"{path!r} is a file, not an orbax checkpoint dir — torch "
+            f".pth checkpoints must be converted first: "
+            f"python tools/convert_checkpoint.py {path} <out_dir>")
+    raise FileNotFoundError(
+        f"checkpoint {path!r} not found (tried orbax dir, work_dir "
+        f"latest, and .pth alias resolution)")
 
 
 def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 
+    path = resolve_checkpoint(path)
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), item=target)
     meta = {}

@@ -249,3 +249,48 @@ class TestFp16Mapping:
         cfg = Cfg({"model": {}})
         assert apply_fp16_cfg(cfg) is False
         assert "compute_dtype" not in cfg.model
+
+
+class TestResolveCheckpoint:
+    """mm-style checkpoint alias resolution — the reference README's test
+    command passes work_dir/latest.pth (/root/reference/README.md:99)."""
+
+    def _mk(self, tmp_path):
+        from rscotr_tpu.engine import save_checkpoint
+        wd = str(tmp_path / "wd")
+        params = {"w": np.zeros(3, np.float32)}
+        save_checkpoint(wd, 3, params)
+        save_checkpoint(wd, 8, params)
+        save_checkpoint(wd, 5, params, meta={"best_score": 1.0},
+                        name="best_checkpoint")
+        return wd
+
+    def test_aliases(self, tmp_path):
+        from rscotr_tpu.engine import resolve_checkpoint
+        wd = self._mk(tmp_path)
+        it8 = os.path.join(wd, "iter_8")
+        assert resolve_checkpoint(it8) == it8                 # exact dir
+        assert resolve_checkpoint(wd) == it8                  # work_dir
+        assert resolve_checkpoint(
+            os.path.join(wd, "latest.pth")) == it8            # README alias
+        assert resolve_checkpoint(os.path.join(wd, "latest")) == it8
+        assert resolve_checkpoint(
+            os.path.join(wd, "best_accuracy.pth")).endswith("best_checkpoint")
+        assert resolve_checkpoint(
+            os.path.join(wd, "iter_3.pth")).endswith("iter_3")
+
+    def test_load_through_alias(self, tmp_path):
+        from rscotr_tpu.engine import load_checkpoint
+        wd = self._mk(tmp_path)
+        ck = load_checkpoint(os.path.join(wd, "latest.pth"))
+        assert ck["meta"]["iter"] == 8
+
+    def test_errors(self, tmp_path):
+        import pytest
+        from rscotr_tpu.engine import resolve_checkpoint
+        with pytest.raises(FileNotFoundError):
+            resolve_checkpoint(str(tmp_path / "nope.pth"))
+        torch_file = tmp_path / "model.pth"
+        torch_file.write_bytes(b"\x00")
+        with pytest.raises(FileNotFoundError, match="convert"):
+            resolve_checkpoint(str(torch_file))
