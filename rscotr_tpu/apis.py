@@ -260,6 +260,23 @@ def resolve_schedule(cfg, epoch_len: int,
                 epoch_based=epoch_based)
 
 
+def resolve_init_checkpoint(cfg, resume_from, auto_resume, work_dir):
+    """mmcv precedence for the initial checkpoint (mtl/apis/train.py +
+    reference configs/multi/default_runtime.py:5-6): CLI --resume-from,
+    then cfg.resume_from, then --auto-resume discovery — a resume restores
+    params+opt_state+iter and always wins over cfg.load_from, which is a
+    weights-only init (fresh optimizer, iter 0).
+
+    Returns (resume_path, load_path) — at most one is non-None."""
+    if resume_from is None and cfg.get("resume_from"):
+        resume_from = cfg.resume_from
+    if auto_resume and resume_from is None:
+        resume_from = find_latest_checkpoint(work_dir)
+    if resume_from:
+        return resume_from, None
+    return None, cfg.get("load_from") or None
+
+
 def apply_fp16_cfg(cfg) -> bool:
     """Map the reference's optional ``fp16 = dict(loss_scale=...)`` config
     key (mtl/apis/train.py:66-74 builds an Fp16OptimizerHook from it) to the
@@ -314,16 +331,35 @@ def train_model(cfg, work_dir: str, seed: int = 0,
     if sched["epoch_based"]:
         logger.info("EpochBasedRunner config: %d iters/epoch -> "
                     "max_iters %d", epoch_len, max_iters)
-    if cfg.get("momentum_config"):
-        # mmcv pairs momentum schedules with SGD one-cycle recipes; every
-        # reference config trains AdamW with no momentum schedule
-        # (mtl/apis/train.py:82 passes None). Warn instead of silently
-        # accepting a schedule we don't apply to beta1.
-        logger.warning("momentum_config is not supported (AdamW beta1 is "
-                       "constant); ignoring %s", cfg.momentum_config)
+    wf = cfg.get("workflow") or []
+    if any(phase != "train" for phase, _ in wf):
+        # mmcv workflow val phases compute losses on val data between
+        # train chunks; evaluation here is the MultiDatasetsEvalHook
+        # (metrics, save-best) — the reference itself only ever runs
+        # workflow=[('train',1)] (configs/multi/default_runtime.py:7)
+        logger.warning("workflow %s: non-train phases are ignored; "
+                       "validation runs via the eval hook "
+                       "(cfg.evaluation)", wf)
+    momentum_cfg = dict(cfg.get("momentum_config") or {}) or None
+    if momentum_cfg:
+        # mmcv MomentumUpdaterHook semantics: the schedule drives AdamW's
+        # beta1 per step (no reference config sets one, but user configs
+        # may — mtl/apis/train.py:82 threads it through to the runner)
+        momentum_cfg.setdefault("max_iters", max_iters)
+        logger.info("momentum schedule on AdamW beta1: %s", momentum_cfg)
+    opt_hook_cfg = dict(cfg.get("optimizer_config", {}) or {})
+    cumulative_iters = int(opt_hook_cfg.get("cumulative_iters", 1))
+    if cumulative_iters > 1:
+        # mmcv GradientCumulativeOptimizerHook: grads averaged over K
+        # iters, optimizer stepped every K-th (carried in opt_state —
+        # engine/optimizer.py). LR/momentum schedules tick every iter.
+        logger.info("gradient accumulation: cumulative_iters=%d",
+                    cumulative_iters)
     optimizer = build_optimizer(
         cfg.optimizer, params["params"], lr_config=sched["lr_config"],
-        grad_clip=(cfg.get("optimizer_config", {}) or {}).get("grad_clip"))
+        grad_clip=opt_hook_cfg.get("grad_clip"),
+        momentum_config=momentum_cfg,
+        cumulative_iters=cumulative_iters)
     opt_state = optimizer.init(params["params"])
 
     cls_head_cfg = cfg.model.get("cls_head") or {}
@@ -350,8 +386,8 @@ def train_model(cfg, work_dir: str, seed: int = 0,
                     steps_per_dispatch)
 
     start_step = 0
-    if auto_resume and resume_from is None:
-        resume_from = find_latest_checkpoint(work_dir)
+    resume_from, load_from = resolve_init_checkpoint(
+        cfg, resume_from, auto_resume, work_dir)
     if resume_from:
         ck = load_checkpoint(resume_from)
         params = ck["params"]
@@ -359,6 +395,11 @@ def train_model(cfg, work_dir: str, seed: int = 0,
             opt_state = ck["opt_state"]
         start_step = int(ck["meta"].get("iter", 0))
         logger.info("resumed from %s @ iter %d", resume_from, start_step)
+    elif load_from:
+        # mmcv load_from: weights-only init — fresh optimizer, iter 0
+        ck = load_checkpoint(load_from)
+        params = ck["params"]
+        logger.info("loaded weights (load_from) %s", load_from)
 
     if mesh is not None:
         par_cfg = cfg.get("parallel", {}) or {}

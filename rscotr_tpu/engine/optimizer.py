@@ -170,18 +170,49 @@ class MtlOptimizer:
     grad_clip_norm: Optional[float] = 0.1
     lr_mult_tree: Any = None
     decay_mult_tree: Any = None
+    # mmcv momentum_config: step -> beta1. Matches mmcv MomentumUpdaterHook
+    # on Adam-family optimizers (it rewrites betas[0] each iter, so the
+    # CURRENT beta1 enters both the EMA and torch's bias correction).
+    b1_schedule: Optional[Callable] = None
+    # mmcv GradientCumulativeOptimizerHook: average grads over K iters,
+    # step the optimizer on every K-th. TPU-first shape: an accumulator +
+    # touched-mask pair carried in opt_state and a traced apply flag
+    # folded into the existing per-leaf mask — no host control flow, the
+    # jitted step stays one compiled graph. Moments/counts/bias correction
+    # advance only on apply steps (== torch stepping every K); the `step`
+    # counter (and so the LR/momentum schedules) advances every iter, as
+    # mmcv's runner does.
+    cumulative_iters: int = 1
 
     def init(self, params):
         zeros = jax.tree.map(jnp.zeros_like, params)
         counts = jax.tree.map(
             lambda p: jnp.zeros((), jnp.int32), params)
-        return {"mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params),
-                "count": counts, "step": jnp.zeros((), jnp.int32)}
+        state = {"mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params),
+                 "count": counts, "step": jnp.zeros((), jnp.int32)}
+        if self.cumulative_iters > 1:
+            state["accum"] = jax.tree.map(jnp.zeros_like, params)
+            state["accum_mask"] = jax.tree.map(
+                lambda p: jnp.zeros((), jnp.float32), params)
+        return state
 
     def update(self, grads, state, params, mask=None):
         """Returns (new_params, new_state, grad_norm)."""
         if mask is None:
             mask = jax.tree.map(lambda g: jnp.asarray(1.0), grads)
+
+        K = self.cumulative_iters
+        if K > 1:
+            # running average of the last K grads; a param is "touched"
+            # for this apply window if ANY contributing task touched it
+            grads = jax.tree.map(lambda a, g: a + g / K,
+                                 state["accum"], grads)
+            mask = jax.tree.map(lambda am, m: jnp.maximum(am, m),
+                                state["accum_mask"], mask)
+            apply = (jnp.mod(state["step"] + 1, K) == 0).astype(jnp.float32)
+            accum_next = jax.tree.map(lambda a: a * (1.0 - apply), grads)
+            amask_next = jax.tree.map(lambda m: m * (1.0 - apply), mask)
+            mask = jax.tree.map(lambda m: m * apply, mask)
 
         gnorm = jnp.sqrt(sum(
             jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
@@ -191,6 +222,8 @@ class MtlOptimizer:
             grads = jax.tree.map(lambda g: g * scale, grads)
 
         lr = self.lr_schedule(state["step"])
+        b1 = (self.b1_schedule(state["step"])
+              if self.b1_schedule is not None else self.b1)
         lr_tree = self.lr_mult_tree or jax.tree.map(
             lambda p: 1.0, params)
         dc_tree = self.decay_mult_tree or jax.tree.map(
@@ -198,11 +231,11 @@ class MtlOptimizer:
 
         def upd(g, m, v, c, p, msk, lm, dm):
             new_c = c + msk.astype(jnp.int32)
-            new_m = jnp.where(msk > 0, self.b1 * m + (1 - self.b1) * g, m)
+            new_m = jnp.where(msk > 0, b1 * m + (1 - b1) * g, m)
             new_v = jnp.where(msk > 0,
                               self.b2 * v + (1 - self.b2) * g * g, v)
             cf = jnp.maximum(new_c.astype(jnp.float32), 1.0)
-            mhat = new_m / (1 - self.b1 ** cf)
+            mhat = new_m / (1 - b1 ** cf)
             vhat = new_v / (1 - self.b2 ** cf)
             step = mhat / (jnp.sqrt(vhat) + self.eps) + \
                 self.weight_decay * dm * p
@@ -222,14 +255,36 @@ class MtlOptimizer:
                                   is_leaf=lambda t: isinstance(t, tuple)),
             "step": state["step"] + 1,
         }
+        if K > 1:
+            new_state["accum"] = accum_next
+            new_state["accum_mask"] = amask_next
         return new_params, new_state, gnorm
+
+
+def make_momentum_schedule(momentum_config: Optional[dict],
+                           base_momentum: float) -> Optional[Callable]:
+    """mmcv momentum_config -> step->beta1 function. Reuses the LR-policy
+    math (mmcv's momentum updaters mirror its LR updaters), mapping the
+    momentum-specific keys min_momentum/min_momentum_ratio onto
+    min_lr/min_lr_ratio. Cyclic/OneCycle raise (SGD one-cycle recipes —
+    nothing in the reference uses them)."""
+    if not momentum_config:
+        return None
+    mc = dict(momentum_config)
+    if "min_momentum" in mc:
+        mc["min_lr"] = mc.pop("min_momentum")
+    if "min_momentum_ratio" in mc:
+        mc["min_lr_ratio"] = mc.pop("min_momentum_ratio")
+    return make_lr_schedule(mc, base_momentum)
 
 
 def build_optimizer(optimizer_cfg: dict, params,
                     lr_config: Optional[dict] = None,
-                    grad_clip: Optional[dict] = None) -> MtlOptimizer:
+                    grad_clip: Optional[dict] = None,
+                    momentum_config: Optional[dict] = None,
+                    cumulative_iters: int = 1) -> MtlOptimizer:
     """Build from reference-shaped configs (optimizer/lr_config/
-    optimizer_config.grad_clip)."""
+    optimizer_config.{grad_clip,cumulative_iters}/momentum_config)."""
     cfg = dict(optimizer_cfg)
     assert cfg.get("type", "AdamW") == "AdamW", cfg.get("type")
     base_lr = cfg.get("lr", 5e-5)
@@ -241,12 +296,15 @@ def build_optimizer(optimizer_cfg: dict, params,
     clip = None
     if grad_clip:
         clip = float(grad_clip.get("max_norm", 0.1))
+    b1 = cfg.get("betas", (0.9, 0.999))[0]
     return MtlOptimizer(
         lr_schedule=make_lr_schedule(lr_config, base_lr),
-        b1=cfg.get("betas", (0.9, 0.999))[0],
+        b1=b1,
         b2=cfg.get("betas", (0.9, 0.999))[1],
         eps=cfg.get("eps", 1e-8),
         weight_decay=cfg.get("weight_decay", 1e-4),
         grad_clip_norm=clip,
         lr_mult_tree=lr_tree,
-        decay_mult_tree=dc_tree)
+        decay_mult_tree=dc_tree,
+        b1_schedule=make_momentum_schedule(momentum_config, b1),
+        cumulative_iters=int(cumulative_iters))

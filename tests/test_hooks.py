@@ -294,3 +294,32 @@ class TestResolveCheckpoint:
         torch_file.write_bytes(b"\x00")
         with pytest.raises(FileNotFoundError, match="convert"):
             resolve_checkpoint(str(torch_file))
+
+
+class TestResolveInitCheckpoint:
+    """mmcv precedence: --resume-from > cfg.resume_from > --auto-resume;
+    any resume beats cfg.load_from (weights-only)."""
+
+    def test_precedence(self, tmp_path):
+        from rscotr_tpu.apis import resolve_init_checkpoint
+        from rscotr_tpu.config import Config
+        from rscotr_tpu.engine import save_checkpoint
+        wd = str(tmp_path / "wd")
+        save_checkpoint(wd, 2, {"w": np.zeros(2, np.float32)})
+        cfg = Config.fromdict(dict(resume_from=None, load_from=None))
+
+        # nothing set
+        assert resolve_init_checkpoint(cfg, None, False, wd) == (None, None)
+        # CLI resume wins
+        assert resolve_init_checkpoint(cfg, "/x", False, wd) == ("/x", None)
+        # cfg.resume_from next
+        cfg2 = Config.fromdict(dict(resume_from="/y", load_from="/z"))
+        assert resolve_init_checkpoint(cfg2, None, False, wd) == \
+            ("/y", None)
+        # auto-resume discovery next
+        cfg3 = Config.fromdict(dict(load_from="/z"))
+        r, l = resolve_init_checkpoint(cfg3, None, True, wd)
+        assert r.endswith("iter_2") and l is None
+        # load_from only when no resume source exists
+        assert resolve_init_checkpoint(cfg3, None, False, wd) == \
+            (None, "/z")

@@ -166,3 +166,141 @@ class TestAdamW:
         s = opt.init(p)
         p2, s2, _ = opt.update(jax.tree.map(jnp.ones_like, p), s, p)
         assert int(s2["step"]) == 1
+
+
+class TestMomentumSchedule:
+    def test_matches_torch_with_per_step_betas(self):
+        """mmcv MomentumUpdaterHook rewrites betas[0] per iter; parity vs
+        torch.optim.AdamW driven the same way."""
+        torch = pytest.importorskip("torch")
+        from rscotr_tpu.engine.optimizer import make_momentum_schedule
+        lr, wd = 1e-2, 1e-2
+        mom = dict(policy="step", step=[2, 4], gamma=0.5)
+        sched = make_momentum_schedule(mom, 0.9)
+        w0 = np.array([1.0, -2.0, 3.0], np.float32)
+        g = np.array([0.1, -0.2, 0.3], np.float32)
+
+        tp = torch.nn.Parameter(torch.tensor(w0))
+        topt = torch.optim.AdamW([tp], lr=lr, weight_decay=wd)
+        for it in range(6):
+            b1 = float(sched(it))
+            topt.param_groups[0]["betas"] = (b1, 0.999)
+            topt.zero_grad()
+            tp.grad = torch.tensor(g)
+            topt.step()
+
+        opt = MtlOptimizer(lr_schedule=lambda s: lr, weight_decay=wd,
+                           grad_clip_norm=None, b1_schedule=sched)
+        params = {"w": jnp.asarray(w0)}
+        state = opt.init(params)
+        for _ in range(6):
+            params, state, _ = opt.update({"w": jnp.asarray(g)}, state,
+                                          params)
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tp.detach().numpy(), atol=1e-5)
+
+    def test_momentum_key_mapping(self):
+        from rscotr_tpu.engine.optimizer import make_momentum_schedule
+        s = make_momentum_schedule(
+            dict(policy="CosineAnnealing", min_momentum_ratio=0.5,
+                 max_iters=100), 0.9)
+        np.testing.assert_allclose(float(s(0)), 0.9, rtol=1e-6)
+        np.testing.assert_allclose(float(s(100)), 0.45, rtol=1e-6)
+        assert make_momentum_schedule(None, 0.9) is None
+
+    def test_build_optimizer_wires_momentum(self):
+        opt = build_optimizer(
+            dict(type="AdamW", lr=1e-3, betas=(0.8, 0.999)),
+            {"w": jnp.ones(2)},
+            momentum_config=dict(policy="step", step=[10], gamma=0.1))
+        assert opt.b1_schedule is not None
+        np.testing.assert_allclose(float(opt.b1_schedule(0)), 0.8)
+        np.testing.assert_allclose(float(opt.b1_schedule(20)), 0.08,
+                                   rtol=1e-6)
+
+
+class TestGradAccumulation:
+    """mmcv GradientCumulativeOptimizerHook: grads averaged over K iters,
+    optimizer stepped on every K-th (torch-parity tested)."""
+
+    def test_matches_torch_stepping_every_k(self):
+        torch = pytest.importorskip("torch")
+        lr, wd, K = 1e-2, 1e-2, 3
+        w0 = np.array([1.0, -2.0, 3.0], np.float32)
+        rng = np.random.default_rng(0)
+        gs = [rng.normal(size=3).astype(np.float32) for _ in range(9)]
+
+        tp = torch.nn.Parameter(torch.tensor(w0))
+        topt = torch.optim.AdamW([tp], lr=lr, weight_decay=wd)
+        for i in range(0, 9, K):
+            topt.zero_grad()
+            tp.grad = torch.tensor(np.mean(gs[i:i + K], axis=0))
+            topt.step()
+
+        opt = MtlOptimizer(lr_schedule=lambda s: lr, weight_decay=wd,
+                           grad_clip_norm=None, cumulative_iters=K)
+        params = {"w": jnp.asarray(w0)}
+        state = opt.init(params)
+        for i, g in enumerate(gs):
+            prev = np.asarray(params["w"]).copy()
+            params, state, _ = opt.update({"w": jnp.asarray(g)}, state,
+                                          params)
+            if (i + 1) % K != 0:  # non-apply iters leave params untouched
+                np.testing.assert_array_equal(np.asarray(params["w"]),
+                                              prev)
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tp.detach().numpy(), atol=1e-5)
+        assert int(state["count"]["w"]) == 3     # 3 optimizer steps
+        np.testing.assert_allclose(np.asarray(state["accum"]["w"]), 0.0)
+
+    def test_mask_union_over_window(self):
+        """A leaf touched by ANY iter of the window updates at apply; a
+        leaf touched by NONE stays frozen (moments+count too)."""
+        opt = MtlOptimizer(lr_schedule=lambda s: 1e-2, weight_decay=0.0,
+                           grad_clip_norm=None, cumulative_iters=2)
+        params = {"a": jnp.ones(2), "b": jnp.ones(2)}
+        state = opt.init(params)
+        g = {"a": jnp.ones(2), "b": jnp.ones(2)}
+        m1 = {"a": jnp.asarray(1.0), "b": jnp.asarray(0.0)}
+        m0 = {"a": jnp.asarray(0.0), "b": jnp.asarray(0.0)}
+        params, state, _ = opt.update(g, state, params, m1)  # touches a
+        params, state, _ = opt.update(g, state, params, m0)  # touches none
+        assert not np.allclose(np.asarray(params["a"]), 1.0)  # union -> a
+        np.testing.assert_allclose(np.asarray(params["b"]), 1.0)
+        assert int(state["count"]["a"]) == 1
+        assert int(state["count"]["b"]) == 0
+
+    def test_state_shape_default_unchanged(self):
+        opt = MtlOptimizer(lr_schedule=lambda s: 1e-2)
+        state = opt.init({"w": jnp.ones(2)})
+        assert "accum" not in state
+        opt2 = build_optimizer(dict(type="AdamW", lr=1e-3),
+                               {"w": jnp.ones(2)}, cumulative_iters=4)
+        assert "accum" in opt2.init({"w": jnp.ones(2)})
+
+    def test_composes_with_jit_and_scan(self):
+        """The accumulation state must trace cleanly under jit + lax.scan
+        (the K-step scan-dispatch runner path carries opt_state)."""
+        import jax as _jax
+        opt = MtlOptimizer(lr_schedule=lambda s: 1e-2, weight_decay=0.0,
+                           grad_clip_norm=None, cumulative_iters=2)
+        params = {"w": jnp.ones(3)}
+        state = opt.init(params)
+        gs = jnp.stack([jnp.full(3, float(i + 1)) for i in range(4)])
+
+        @_jax.jit
+        def run(params, state, gs):
+            def body(carry, g):
+                p, s = carry
+                p, s, gn = opt.update({"w": g}, s, p)
+                return (p, s), gn
+            (p, s), gns = _jax.lax.scan(body, (params, state), gs)
+            return p, s, gns
+
+        p_scan, s_scan, _ = run(params, state, gs)
+        p_ref, s_ref = params, state
+        for i in range(4):
+            p_ref, s_ref, _ = opt.update({"w": gs[i]}, s_ref, p_ref)
+        np.testing.assert_allclose(np.asarray(p_scan["w"]),
+                                   np.asarray(p_ref["w"]), rtol=1e-6)
+        assert int(s_scan["count"]["w"]) == 2
