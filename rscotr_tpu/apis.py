@@ -441,7 +441,8 @@ def train_model(cfg, work_dir: str, seed: int = 0,
     runner.register_hook(CheckpointHook(
         interval=ckpt_cfg.get("interval", 100000), work_dir=work_dir,
         meta={"CLASSES": classes_meta},
-        max_keep_ckpts=ckpt_cfg.get("max_keep_ckpts", -1)))
+        max_keep_ckpts=ckpt_cfg.get("max_keep_ckpts", -1),
+        async_save=bool(ckpt_cfg.get("async_save", False))))
     if validate:
         ev = sched["evaluation"]
         eval_fn = make_eval_fn(

@@ -272,13 +272,24 @@ class MultiDataLoader:
     def __next__(self) -> Dict[str, object]:
         exhaust_all = getattr(self.strategy,
                               "should_exhaust_all_iterators", False)
-        for _ in range(len(self.names) * 4 + 8):
+        attempts = 0
+        while True:
             idx = self.strategy()
             name = self.names[idx]
             if exhaust_all and self._finished[name]:
                 if all(self._finished.values()):
                     raise StopIteration
-                continue
+                # Redraw while the chosen child is finished (the reference
+                # redraws unboundedly — multi_data_loader.py:177-191; a
+                # bounded retry would end the epoch early with nonzero
+                # probability once a skewed strategy's largest dataset
+                # finishes). After many misses (a strategy that can never
+                # draw an unfinished child, e.g. Constant), fall back to
+                # the first unfinished child instead of spinning forever.
+                attempts += 1
+                if attempts < 1000:
+                    continue
+                name = next(n for n in self.names if not self._finished[n])
             try:
                 batch = next(self._iters[name])
             except StopIteration:
@@ -300,7 +311,6 @@ class MultiDataLoader:
             batch["dataset_name"] = name
             batch["task"] = self.loaders[name].dataset.task
             return batch
-        raise StopIteration
 
     def seed_sampler(self, epoch: int):
         for dl in self.loaders.values():

@@ -41,14 +41,49 @@ def gather_to_host(tree):
     return jax.tree.map(_one, tree)
 
 
+# single-slot async writer: at most one checkpoint write in flight; the
+# next save (or wait_for_async_save) joins it and re-raises any failure
+_ASYNC: Dict[str, Any] = {"thread": None, "error": None}
+
+
+def wait_for_async_save() -> None:
+    """Join any in-flight async checkpoint write; re-raise its failure.
+
+    Called automatically by the next ``async_save`` (one write in flight
+    at a time) and by CheckpointHook.after_run; call it manually before
+    reading a checkpoint that was just saved asynchronously."""
+    t = _ASYNC["thread"]
+    if t is not None:
+        t.join()
+        _ASYNC["thread"] = None
+    if _ASYNC["error"] is not None:
+        err = _ASYNC["error"]
+        _ASYNC["error"] = None
+        raise RuntimeError("async checkpoint save failed") from err
+
+
 def save_checkpoint(work_dir: str, step: int, params, opt_state=None,
                     meta: Optional[Dict[str, Any]] = None,
-                    name: Optional[str] = None) -> str:
+                    name: Optional[str] = None, async_save: bool = False,
+                    post_save=None) -> str:
     """Write ``work_dir/iter_{step}`` (or ``work_dir/{name}``).
 
     Multi-host: EVERY process must call this (the host gather is a
     collective); only process 0 touches the filesystem. All processes
-    return the checkpoint path."""
+    return the checkpoint path.
+
+    ``async_save``: return as soon as the device→host gather is done and
+    write the files on a background thread, so the train loop only stalls
+    for the gather instead of the full serialize+fsync (the reference's
+    mmcv CheckpointHook blocks the loop for the whole torch.save). The
+    gathered state is a host-side COPY, so training may donate/overwrite
+    the live params immediately. One write in flight at a time; a failure
+    surfaces on the next save / ``wait_for_async_save``. Multi-host runs
+    fall back to synchronous writes (orbax's internal cross-process
+    barriers must run on the same thread on every process).
+
+    ``post_save``: optional callable run (on the writer thread when async)
+    after the checkpoint files are fully committed — e.g. pruning."""
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(work_dir), name) if name \
@@ -57,23 +92,48 @@ def save_checkpoint(work_dir: str, step: int, params, opt_state=None,
     if opt_state is not None:
         state["opt_state"] = opt_state
     state = gather_to_host(state)
-    # every process calls save (orbax syncs processes internally and the
-    # primary writes — gating to process 0 would deadlock its barriers);
-    # plain meta/pointer files are process-0-only ordinary IO
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, state, force=True)
-    if jax.process_index() != 0:
+    write_meta = jax.process_index() == 0
+
+    def _write():
+        # every process calls save (orbax syncs processes internally and
+        # the primary writes — gating to process 0 would deadlock its
+        # barriers); plain meta/pointer files are process-0-only IO
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, state, force=True)
+        if write_meta:
+            m = dict(meta or {})
+            m["iter"] = int(step)
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(m, f, default=str)
+            if name is None:
+                # only regular iter_N saves move the auto-resume pointer —
+                # a best_checkpoint save must not hijack resume; written
+                # AFTER the orbax commit so the pointer never names an
+                # incomplete checkpoint
+                latest = os.path.join(os.path.abspath(work_dir),
+                                      "last_checkpoint")
+                with open(latest, "w") as f:
+                    f.write(path)
+        if post_save is not None:
+            post_save()
+
+    if async_save and jax.process_count() == 1:
+        import threading
+
+        wait_for_async_save()  # ≤1 in flight; surfaces a prior failure
+
+        def _job():
+            try:
+                _write()
+            except BaseException as e:  # surfaced by the next wait
+                _ASYNC["error"] = e
+
+        t = threading.Thread(target=_job, name=f"ckpt-save-{step}")
+        _ASYNC["thread"] = t
+        t.start()
         return path
-    meta = dict(meta or {})
-    meta["iter"] = int(step)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, default=str)
-    if name is None:
-        # only regular iter_N saves move the auto-resume pointer — a
-        # best_checkpoint save is params-only and must not hijack resume
-        latest = os.path.join(os.path.abspath(work_dir), "last_checkpoint")
-        with open(latest, "w") as f:
-            f.write(path)
+
+    _write()
     return path
 
 
@@ -126,6 +186,7 @@ def resolve_checkpoint(path: str) -> str:
 def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 
+    wait_for_async_save()  # never read a checkpoint mid-async-write
     path = resolve_checkpoint(path)
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), item=target)

@@ -126,11 +126,13 @@ class CheckpointHook(Hook):
     priority = 70
 
     def __init__(self, interval: int = 100000, work_dir: str = "work_dir",
-                 meta: Optional[dict] = None, max_keep_ckpts: int = -1):
+                 meta: Optional[dict] = None, max_keep_ckpts: int = -1,
+                 async_save: bool = False):
         self.interval = interval
         self.work_dir = work_dir
         self.meta = meta or {}
         self.max_keep_ckpts = max_keep_ckpts
+        self.async_save = async_save
         self._last_saved = -1
 
     def _prune(self, current_step: int) -> None:
@@ -153,13 +155,16 @@ class CheckpointHook(Hook):
 
     def _save(self, runner) -> None:
         # all processes call save_checkpoint (the host gather inside is a
-        # collective); only process 0 writes + prunes
+        # collective); only process 0 writes + prunes (after the commit —
+        # on the writer thread when async_save)
         import jax
-        save_checkpoint(self.work_dir, runner.step, runner.params,
-                        runner.opt_state, meta=self.meta)
-        self._last_saved = runner.step
-        if jax.process_index() == 0:
-            self._prune(runner.step)
+        step = runner.step
+        post = (lambda: self._prune(step)) \
+            if jax.process_index() == 0 else None
+        save_checkpoint(self.work_dir, step, runner.params,
+                        runner.opt_state, meta=self.meta,
+                        async_save=self.async_save, post_save=post)
+        self._last_saved = step
 
     def after_train_iter(self, runner) -> None:
         if runner.step % self.interval == 0 or \
@@ -168,12 +173,15 @@ class CheckpointHook(Hook):
 
     def after_run(self, runner) -> None:
         """Preemption (runner caught SIGTERM): write the off-interval final
-        checkpoint so --auto-resume loses zero steps."""
+        checkpoint so --auto-resume loses zero steps. Always drains any
+        in-flight async write so the process never exits mid-checkpoint."""
+        from rscotr_tpu.engine.checkpoint import wait_for_async_save
         if getattr(runner, "preempted", False) and \
                 self._last_saved != runner.step and runner.step > 0:
             get_root_logger().info(
                 "preemption checkpoint @ iter %d", runner.step)
             self._save(runner)
+        wait_for_async_save()
 
 
 class KeyIndicator:

@@ -157,7 +157,7 @@ def _scatter_add_mm_local(updates, idx, num_rows, nv_block, k_block,
                               acc_dtype=acc_dtype),
             grid=(G, Np // nb, kblocks),
             in_specs=[idx_spec,
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((G, Np, C), jnp.float32),
             scratch_shapes=[pltpu.VMEM((kb, C), updates.dtype),

@@ -118,6 +118,30 @@ class TestLoaders:
         # 4 + 3 + 3 batches total
         assert n == 10
 
+    def test_exhaust_all_survives_skewed_strategy(self):
+        """The epoch must deliver EVERY child's batches even when the
+        strategy essentially never draws the unfinished child after the
+        others end (reference redraws unboundedly,
+        multi_data_loader.py:177-191 — a bounded retry would end the epoch
+        early with high probability under a skewed SizeProportional).
+        Constant is the extreme case: it never draws index 1 at all."""
+
+        class ConstantExhaust:
+            should_exhaust_all_iterators = True
+
+            def __call__(self):
+                return 0
+
+        loaders = {k: v for k, v in make_loaders().items()
+                   if k in ("resisc", "dior")}
+        ml = MultiDataLoader(loaders, ConstantExhaust())
+        names = [b["dataset_name"] for b in ml]
+        # every batch of both children arrives: 4 cls + 3 det
+        assert names.count("resisc") == 4
+        assert names.count("dior") == 3
+        # full epochs again on re-iteration
+        assert sum(1 for _ in ml) == 7
+
 
 class TestPipelines:
     def test_resize_keep_ratio(self):

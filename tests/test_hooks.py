@@ -61,6 +61,62 @@ class TestCheckpointHookMaxKeep:
         assert kept == ["iter_1", "iter_2", "iter_3"]
 
 
+class TestAsyncCheckpoint:
+    def test_async_save_commits_and_loads(self, tmp_path):
+        """async_save returns before the files exist; after the drain the
+        checkpoint (data + meta + auto-resume pointer) is complete and
+        byte-equal to what a sync save would have written."""
+        from rscotr_tpu.engine import (find_latest_checkpoint,
+                                       load_checkpoint, save_checkpoint)
+        from rscotr_tpu.engine.checkpoint import wait_for_async_save
+        wd = str(tmp_path / "wd")
+        params = {"w": np.arange(4, dtype=np.float32)}
+        path = save_checkpoint(wd, 3, params, meta={"CLASSES": {"d": ["a"]}},
+                               async_save=True)
+        wait_for_async_save()
+        assert os.path.isdir(path)
+        ck = load_checkpoint(path)
+        np.testing.assert_array_equal(ck["params"]["w"], params["w"])
+        assert ck["meta"]["iter"] == 3
+        latest = find_latest_checkpoint(wd)
+        assert latest and latest.endswith("iter_3")
+
+    def test_async_hook_prunes_and_drains_on_after_run(self, tmp_path):
+        """CheckpointHook(async_save=True): pruning still enforces
+        max_keep_ckpts (it runs post-commit on the writer thread) and
+        after_run leaves no write in flight."""
+        from rscotr_tpu.engine import CheckpointHook
+        from rscotr_tpu.engine.checkpoint import _ASYNC
+        wd = str(tmp_path / "wd")
+        params = {"w": np.zeros(3, np.float32)}
+        hook = CheckpointHook(interval=1, work_dir=wd, max_keep_ckpts=2,
+                              async_save=True)
+        runner = types.SimpleNamespace(params=params, opt_state=None,
+                                       max_iters=100, preempted=False)
+        for step in (1, 2, 3):
+            runner.step = step
+            hook.after_train_iter(runner)
+        hook.after_run(runner)
+        assert _ASYNC["thread"] is None and _ASYNC["error"] is None
+        kept = sorted(d for d in os.listdir(wd) if d.startswith("iter_"))
+        assert kept == ["iter_2", "iter_3"]
+
+    def test_async_failure_surfaces_on_next_wait(self, tmp_path):
+        """A failed background write raises from wait_for_async_save (and
+        therefore from the next save/load), not silently."""
+        import pytest
+        from rscotr_tpu.engine import save_checkpoint
+        from rscotr_tpu.engine.checkpoint import wait_for_async_save
+        blocker = tmp_path / "blocked"
+        blocker.write_bytes(b"")  # work_dir is a FILE -> writer must fail
+        save_checkpoint(str(blocker), 1, {"w": np.zeros(2, np.float32)},
+                        async_save=True)
+        with pytest.raises(RuntimeError, match="async checkpoint"):
+            wait_for_async_save()
+        # the error slot is cleared; the next wait is a clean no-op
+        wait_for_async_save()
+
+
 class TestCustomHooks:
     def test_build_custom_hooks_from_cfg(self):
         """cfg.custom_hooks entries build through the HOOKS registry with

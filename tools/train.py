@@ -36,7 +36,12 @@ def parse_args(argv=None):
     p.add_argument("--resume-from", help="checkpoint to resume from")
     p.add_argument("--auto-resume", action="store_true")
     p.add_argument("--no-validate", action="store_true")
-    p.add_argument("--gpu-id", type=int, default=0,
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--gpus", type=int,
+                   help="(deprecated upstream, accepted for parity)")
+    g.add_argument("--gpu-ids", type=int, nargs="+",
+                   help="(deprecated upstream, accepted for parity)")
+    g.add_argument("--gpu-id", type=int, default=0,
                    help="accepted for parity; device placement is managed "
                         "by JAX")
     p.add_argument("--seed", type=int, default=None)
@@ -46,9 +51,15 @@ def parse_args(argv=None):
     p.add_argument("--deterministic", action="store_true",
                    help="accepted for parity; JAX is deterministic by "
                         "default")
+    p.add_argument("--options", nargs="+", action=DictAction.action(),
+                   help="deprecated alias of --cfg-options (upstream "
+                        "tools/train.py:74-80)")
     p.add_argument("--cfg-options", nargs="+", action=DictAction.action())
     p.add_argument("--launcher", default="none",
                    choices=["none", "pytorch", "slurm", "mpi", "jax"])
+    p.add_argument("--local_rank", type=int, default=0,
+                   help="accepted for torch.distributed.launch command "
+                        "compatibility; unused (JAX is single-controller)")
     p.add_argument("--auto-scale-lr", action="store_true")
     p.add_argument("--max-iters", type=int, default=None,
                    help="override runner.max_iters (smoke runs)")
@@ -63,6 +74,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     cfg = Config.fromfile(args.config)
+    if args.options:
+        if args.cfg_options:
+            raise ValueError(
+                "--options and --cfg-options cannot both be set; "
+                "--options is the deprecated alias")
+        args.cfg_options = args.options
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
     if args.steps_per_dispatch:
