@@ -22,6 +22,11 @@ from rscotr_tpu.utils import MetricsSink, get_root_logger
 
 class Hook:
     priority = 50
+    # K-step scanned dispatch: True (default) = dispatch groups must not
+    # cross this hook's ``interval`` boundaries (the hook reads
+    # runner.params/opt_state at its firing step). Hooks that only read
+    # per-step log_vars may set False (runner._hook_boundary).
+    scan_boundary = True
 
     def before_run(self, runner) -> None:
         pass
@@ -89,6 +94,7 @@ class NumClassCheckHook(Hook):
 
 class LogHook(Hook):
     priority = 90
+    scan_boundary = False   # reads only per-step log_vars, never params
 
     def __init__(self, interval: int = 300, work_dir: str = "work_dir"):
         self.interval = interval

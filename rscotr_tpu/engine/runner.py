@@ -126,7 +126,14 @@ class IterBasedRunner:
         from rscotr_tpu.data.loader import PrefetchIterator
         it = iter(multi_loader)
         if self.prefetch and self.prefetch > 0:
-            it = PrefetchIterator(it, depth=self.prefetch,
+            # K-step dispatch consumes draws in bursts of up to K at group
+            # assembly; a depth-2 queue would serialize most of that prep
+            # into the hot loop (measured: MTL K=8 cls groups stalled
+            # 0.2 s/iter on data with depth 2). Deep enough to hold ~2
+            # groups so the worker preps during device execution.
+            depth = self.prefetch if self.steps_per_dispatch <= 1 else \
+                max(self.prefetch, 2 * self.steps_per_dispatch)
+            it = PrefetchIterator(it, depth=depth,
                                   transfer_fn=self._transfer_batch)
         return it
 
@@ -220,9 +227,14 @@ class IterBasedRunner:
     def _hook_boundary(self) -> int:
         """Max steps a dispatch group may advance without crossing a hook
         interval boundary — hooks that fire see exact post-group params
-        at exactly their firing step."""
+        at exactly their firing step. Hooks that only consume per-step
+        ``log_vars`` (scanned out per step anyway) opt out with
+        ``scan_boundary = False`` so e.g. a log interval of 5 doesn't cap
+        an 8-step dispatch."""
         room = self.max_iters - self.step
         for h in self._hooks:
+            if not getattr(h, "scan_boundary", True):
+                continue
             iv = getattr(h, "interval", None)
             if isinstance(iv, int) and iv > 0:
                 room = min(room, iv - self.step % iv)

@@ -196,6 +196,22 @@ class TestGroupingSemantics:
             assert (lo // 3) == (hi // 3), (lo, hi)
         assert hook.fired_at == [3, 6, 9, 12]
 
+    def test_scan_boundary_optout_does_not_cap_groups(self):
+        """A hook with scan_boundary=False (e.g. LogHook — per-step
+        log_vars only) must not limit dispatch group size; one WITH
+        boundaries still does."""
+        class _LogLike(_BoundaryHook):
+            scan_boundary = False
+
+        record = []
+        hook = _LogLike(3)
+        r = self._runner(record, K=4, max_iters=16, hooks=[hook])
+        r.run(_two_task_loader())
+        sizes = sorted({len(idxs) for _, idxs, _ in record})
+        assert sizes == [4]        # full K groups despite interval=3
+        # per-step after_train_iter still fired at every multiple of 3
+        assert hook.fired_at == [3, 6, 9, 12, 15, 16]
+
     def test_global_steps_cover_range_once(self):
         record = []
         r = self._runner(record, K=4, max_iters=10)
