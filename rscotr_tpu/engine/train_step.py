@@ -245,6 +245,14 @@ def make_scan_train_step(model, optimizer, task: str, cfg: TrainStepConfig,
     is the (K,) int32 array of global step numbers; each step's rng is
     ``fold_in(root_key, step_idx)`` — exactly the per-iteration runner's
     stream, so a K=1 dispatch is bit-identical to make_train_step.
+
+    Numerics note (measured 2026-08-19, flagship det shapes on v5e bf16):
+    the scan body and the standalone step are semantically identical but
+    XLA fuses them differently, so trajectories agree to ~4 decimals for
+    tens of steps and then drift at the ulp level (K=8 vs K=1 losses
+    identical through iter 40, diverged ≤0.2% by iter 48). Different K
+    values of the scan path agree bit-exactly with each other. The exact
+    f32 bit-identity contract is tested on CPU (tests/test_scan_dispatch).
     """
     body = _train_step_body(model, optimizer, task, cfg, task_mask)
 
