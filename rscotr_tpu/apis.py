@@ -452,7 +452,10 @@ def train_model(cfg, work_dir: str, seed: int = 0,
             skip_det=skip_det_eval, mesh=mesh)
         runner.register_hook(MultiDatasetsEvalHook(
             eval_fn, interval=ev.get("interval", 15000),
-            save_best=ev.get("save_best"), work_dir=work_dir))
+            save_best=ev.get("save_best"), work_dir=work_dir,
+            # without-det-eval legitimately drops det save_best keys
+            # (reference zero-substitutes them, evaluation.py:145)
+            strict_save_best=not skip_det_eval))
     # user hooks from cfg.custom_hooks (reference mtl/apis/train.py:83)
     from rscotr_tpu.engine.hooks import build_custom_hooks
     for hook in build_custom_hooks(cfg.get("custom_hooks")):

@@ -191,18 +191,40 @@ class CheckpointHook(Hook):
 
 
 class KeyIndicator:
-    """Weighted multi-metric save-best key (reference evaluation.py:9-26):
-    score = mean(weight_i * metric_i)."""
+    """Weighted multi-metric save-best key (reference evaluation.py:9-26,
+    :144-148): score = sum(weight_i * metrics.get(key_i, 0)) / len(keys) —
+    missing keys contribute 0 but still divide, exactly as the reference's
+    ``eval_res.get(key, 0.)`` does.
 
-    def __init__(self, key_weights: Dict[str, float]):
+    Strict on configured keys by default: a typo'd ``save_best`` metric
+    name raises instead of silently zeroing part of the best-checkpoint
+    criterion. Pass ``strict=False`` (the without-det-eval flow does —
+    its det keys are legitimately absent) to warn once per missing key
+    and keep the reference's zero-substitution."""
+
+    def __init__(self, key_weights: Dict[str, float], strict: bool = True):
         self.key_weights = dict(key_weights)
+        self.strict = strict
+        self._warned: set = set()
 
     def __call__(self, metrics: Dict[str, float]) -> float:
-        vals = []
+        total = 0.0
         for key, w in self.key_weights.items():
             if key in metrics:
-                vals.append(w * float(metrics[key]))
-        return float(np.mean(vals)) if vals else float("-inf")
+                total += w * float(metrics[key])
+            elif self.strict:
+                raise KeyError(
+                    f"save_best metric {key!r} missing from eval metrics "
+                    f"{sorted(metrics)} — check the configured key names")
+            elif key not in self._warned:
+                self._warned.add(key)
+                get_root_logger().warning(
+                    "save_best metric %r missing from eval metrics %s — "
+                    "it contributes 0 to the best score",
+                    key, sorted(metrics))
+        if not self.key_weights:
+            return float("-inf")
+        return total / len(self.key_weights)
 
 
 class MultiDatasetsEvalHook(Hook):
@@ -214,10 +236,12 @@ class MultiDatasetsEvalHook(Hook):
     def __init__(self, eval_fn: Callable[[Any], Dict[str, float]],
                  interval: int = 15000,
                  save_best: Optional[Dict[str, float]] = None,
-                 work_dir: str = "work_dir"):
+                 work_dir: str = "work_dir",
+                 strict_save_best: bool = True):
         self.eval_fn = eval_fn
         self.interval = interval
-        self.indicator = KeyIndicator(save_best) if save_best else None
+        self.indicator = (KeyIndicator(save_best, strict=strict_save_best)
+                          if save_best else None)
         self.work_dir = work_dir
         self.best_score = float("-inf")
         self.logger = get_root_logger()

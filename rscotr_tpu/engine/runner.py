@@ -169,6 +169,24 @@ class IterBasedRunner:
         prev = signal.signal(signal.SIGTERM, _on_sigterm)
         return lambda: signal.signal(signal.SIGTERM, prev)
 
+    def _should_stop(self) -> bool:
+        """Collectively-agreed preemption check at step boundaries.
+
+        SIGTERM may reach only some hosts of a multi-host run; if the
+        signaled processes entered the off-interval save (whose
+        gather/orbax calls are collectives) while the rest kept training,
+        the fleet would deadlock. So each boundary all-reduces the local
+        flag (max) and EVERY process adopts the result before deciding to
+        stop — all hosts then enter the collective save together."""
+        if jax.process_count() == 1 or not self.handle_preemption:
+            return self.preempted
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray(self.preempted, np.int32))
+        if int(np.max(flags)):
+            self.preempted = True
+        return self.preempted
+
     def run(self, multi_loader) -> None:
         self.logger.info("start training: iter %d -> %d", self.step,
                          self.max_iters)
@@ -186,7 +204,7 @@ class IterBasedRunner:
     def _run_per_iter(self, multi_loader) -> None:
         it = self._make_iter(multi_loader)
         t_last = time.perf_counter()
-        while self.step < self.max_iters and not self.preempted:
+        while self.step < self.max_iters and not self._should_stop():
             try:
                 batch = next(it)
             except StopIteration:
@@ -279,7 +297,17 @@ class IterBasedRunner:
                 group.append(b)
             else:
                 buf.append(b)
-        return key, group
+        # Snap the group length down to a power of two (<= k): each
+        # distinct (task, n) compiles its own lax.scan graph (10-15 min
+        # on a 1-core host), and lookahead-cap partials + interval
+        # remainders would otherwise make n wander over 1..K. Snapping
+        # bounds the compile set to log2(K)+1 per task; the overflow goes
+        # back to the FRONT of the FIFO buffer so it dispatches next with
+        # identical per-dataset sample order.
+        keep = 1 << (len(group).bit_length() - 1)
+        for b in reversed(group[keep:]):
+            buf.appendleft(b)
+        return key, group[:keep]
 
     def _stack_group(self, group):
         """Stack K same-shape batches along a new leading axis (device-side
@@ -287,10 +315,14 @@ class IterBasedRunner:
         import jax.numpy as jnp
         keys = [k for k in group[0] if k not in ("task", "dataset_name")]
         out = {}
+        data_axis = (self.mesh.shape[self.mesh.axis_names[0]]
+                     if self.mesh is not None else 1)
         for k in keys:
             x = jnp.stack([b[k] for b in group])
+            # divisibility by the DATA axis size (not total device count:
+            # on a 2-D dp×tp mesh the batch only shards over 'data')
             if self._scan_batch_sharding is not None and \
-                    x.shape[1] % self.mesh.devices.size == 0:
+                    x.shape[1] % data_axis == 0:
                 x = jax.device_put(x, self._scan_batch_sharding)
             out[k] = x
         return out
@@ -303,11 +335,17 @@ class IterBasedRunner:
         K = self.steps_per_dispatch
         state = {"it": self._make_iter(multi_loader),
                  "buf": collections.deque()}
+        seen_shapes = set()
         t_last = time.perf_counter()
-        while self.step < self.max_iters and not self.preempted:
+        while self.step < self.max_iters and not self._should_stop():
             k_eff = min(K, self._hook_boundary())
             (task, dataset_name), group = self._next_group(
                 state, multi_loader, k_eff)
+            if (task, len(group)) not in seen_shapes:
+                seen_shapes.add((task, len(group)))
+                self.logger.info(
+                    "scan-dispatch: first (%s, n=%d) group — compiling a "
+                    "new scan graph (slow once per shape)", task, len(group))
             t_data = time.perf_counter()
             self._maybe_profile()
             batches = self._stack_group(group)

@@ -196,14 +196,31 @@ def _batch_placer(mesh):
 
 
 def evaluate_results(datasets: Dict[str, Any], results: Dict[str, List],
-                     eval_kwargs: Dict[str, dict]) -> Dict[str, float]:
+                     eval_kwargs: Dict[str, dict],
+                     allow_empty: bool = False) -> Dict[str, float]:
     """Per-dataset evaluate() with task-scoped kwargs; metric keys prefixed
-    with the dataset name (reference evaluation.py:130-148)."""
+    with the dataset name (reference evaluation.py:130-148).
+
+    An empty result list for a selected dataset is an error by default —
+    silently skipping it would quietly drop that dataset's metrics from
+    the save-best criterion (the reference indexes
+    ``results_dict[dataset_name]`` and would KeyError,
+    evaluation.py:136-138). ``allow_empty=True`` downgrades to a logged
+    skip for partial/cached-output workflows."""
     metrics: Dict[str, float] = {}
     for name, ds in datasets.items():
         kw = dict(eval_kwargs.get(ds.task, {}))
         res = results.get(name, [])
         if not res:
+            if not allow_empty:
+                raise ValueError(
+                    f"no inference results for dataset {name!r} "
+                    f"(have results for {sorted(results)}) — empty eval "
+                    "would silently drop its metrics; pass "
+                    "allow_empty=True to skip instead")
+            get_root_logger().warning(
+                "no results for dataset %s — skipping its evaluation",
+                name)
             continue
         m = ds.evaluate(res, **kw)
         for k, v in m.items():

@@ -112,14 +112,16 @@ def shard_params_fsdp(params: Any, mesh: Mesh, **kw) -> Any:
 
 def shard_opt_state_fsdp(opt_state: Any, param_specs: Any,
                          mesh: Mesh) -> Any:
-    """Adam moments mirror their params' shapes -> same specs; per-leaf
-    step counters are scalars -> replicated."""
+    """Adam moments (and the grad-accumulation buffer, when
+    ``cumulative_iters>1``) mirror their params' shapes -> same specs;
+    per-leaf step counters / accum touched-masks are scalars ->
+    replicated."""
     repl = NamedSharding(mesh, P())
     out = dict(opt_state)
-    for key in ("mu", "nu"):
+    for key in ("mu", "nu", "accum"):
         if key in out:
             out[key] = _put_global(out[key], param_specs)
-    for key in ("count", "step"):
+    for key in ("count", "step", "accum_mask"):
         if key in out:
             out[key] = _put_global(out[key], repl)
     return out

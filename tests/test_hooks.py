@@ -379,3 +379,50 @@ class TestResolveInitCheckpoint:
         # load_from only when no resume source exists
         assert resolve_init_checkpoint(cfg3, None, False, wd) == \
             (None, "/z")
+
+
+class TestStrictEvalPlumbing:
+    """VERDICT round-2 weak #4: typo'd save_best keys and empty eval
+    result sets must fail loudly instead of silently changing the
+    best-checkpoint criterion."""
+
+    def test_key_indicator_matches_reference_mean(self):
+        # reference evaluation.py:144-148: sum(w_i * metric_i) / len(keys)
+        from rscotr_tpu.engine import KeyIndicator
+        ki = KeyIndicator({"a.acc": 1.0, "b.map": 100.0})
+        assert ki({"a.acc": 0.9, "b.map": 0.5}) == \
+            (1.0 * 0.9 + 100.0 * 0.5) / 2
+
+    def test_key_indicator_strict_raises_on_typo(self):
+        import pytest
+
+        from rscotr_tpu.engine import KeyIndicator
+        ki = KeyIndicator({"resisc.accuracy_top-1": 1.0})
+        with pytest.raises(KeyError, match="accuracy_top-1"):
+            ki({"resisc.accuracy": 97.0})  # typo'd configured key
+
+    def test_key_indicator_lenient_zero_substitutes(self):
+        # without-det-eval flow: det keys absent -> contribute 0 but
+        # still divide (exactly eval_res.get(key, 0.) in the reference)
+        from rscotr_tpu.engine import KeyIndicator
+        ki = KeyIndicator({"cls.acc": 1.0, "dior.bbox_mAP": 100.0},
+                          strict=False)
+        assert ki({"cls.acc": 90.0}) == 90.0 / 2
+
+    def test_evaluate_results_raises_on_empty(self):
+        import pytest
+
+        from rscotr_tpu.engine import evaluate_results
+
+        class DS:
+            task = "cls"
+
+            def evaluate(self, res, **kw):
+                return {"accuracy": 1.0}
+
+        datasets = {"d1": DS(), "d2": DS()}
+        results = {"d1": [np.zeros(3)], "d2": []}
+        with pytest.raises(ValueError, match="d2"):
+            evaluate_results(datasets, results, {})
+        m = evaluate_results(datasets, results, {}, allow_empty=True)
+        assert m == {"d1.accuracy": 1.0}

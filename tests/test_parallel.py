@@ -355,3 +355,57 @@ def test_sharded_eval_equals_unsharded_eval(cls_setup, cpu_mesh):
     assert len(plain["a"]) == len(sharded["a"]) == 24
     for x, y in zip(plain["a"], sharded["a"]):
         np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+
+def test_fsdp_with_grad_accumulation(cls_setup, cpu_mesh):
+    """ADVICE r2: with cumulative_iters>1 the opt_state gains accum /
+    accum_mask leaves; shard_opt_state_fsdp must place accum like the
+    params (sharded) and accum_mask replicated, and the 2-step
+    accumulated trajectory must match single-device exactly."""
+    from rscotr_tpu.config import Config
+    from rscotr_tpu.data import load_data_cfg
+    from rscotr_tpu.parallel import (fsdp_param_specs, shard_opt_state_fsdp,
+                                     shard_params_fsdp)
+
+    cfg = Config.fromfile(
+        os.path.join(ROOT, "configs/multi/MTL_tiny_synthetic.py"))
+    cfg = load_data_cfg(cfg, config_root=ROOT)
+    cfg.model["bbox_head"] = None
+    cfg.model["seg_head"] = None
+    model = build_model(cfg.model)
+    params = init_model_params(model, cfg, seed=0)
+    optimizer = build_optimizer(
+        cfg.optimizer, params["params"], lr_config=dict(cfg.lr_config),
+        grad_clip=(cfg.get("optimizer_config", {}) or {}).get("grad_clip"),
+        cumulative_iters=2)
+    opt_state = optimizer.init(params["params"])
+    assert "accum" in opt_state and "accum_mask" in opt_state
+    masks = task_param_masks(params["params"], cls_uses_encoder=False)
+    step = make_train_step(model, optimizer, "cls", make_step_config(cfg),
+                           masks["cls"], donate=False)
+
+    b1, b2 = _batch(8), _batch(8)
+    with jax.default_matmul_precision("highest"):
+        p1, o1, _ = step(params, opt_state, b1, jax.random.key(0))
+        p1, o1, _ = step(p1, o1, b2, jax.random.key(1))
+        jax.block_until_ready(jax.tree.leaves(p1)[0])
+
+        inner_specs = fsdp_param_specs(params["params"], cpu_mesh)
+        params_f = shard_params_fsdp(params, cpu_mesh)
+        opt_f = shard_opt_state_fsdp(opt_state, inner_specs, cpu_mesh)
+        # the accumulation buffer must be sharded like its param
+        big_accum = max(jax.tree.leaves(opt_f["accum"]),
+                        key=lambda x: x.size)
+        assert not big_accum.sharding.is_fully_replicated
+        shard = NamedSharding(cpu_mesh, P("data"))
+        s1 = {k: jax.device_put(v, shard) for k, v in b1.items()}
+        s2 = {k: jax.device_put(v, shard) for k, v in b2.items()}
+        p2, o2, _ = step(params_f, opt_f, s1, jax.random.key(0))
+        p2, o2, _ = step(p2, o2, s2, jax.random.key(1))
+        # carried accum stays sharded after real steps
+        big2 = max(jax.tree.leaves(o2["accum"]), key=lambda x: x.size)
+        assert not big2.sharding.is_fully_replicated
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -146,13 +146,34 @@ def main(argv=None):
     eval_kwargs = {t: dict(cfg.get("evaluation", {}).get(t, {}))
                    for t in ("cls", "det", "seg")}
     if args.eval:
-        # explicit metric names (reference tools/test.py:48-53); applied
-        # to every selected task — pair with --tasks for per-task metrics
-        for t in args.tasks:
+        # explicit metric names (reference tools/test.py:48-53). The
+        # reference applies metrics per dataset; here each known metric
+        # name routes to its task so `--eval bbox` with the default
+        # --tasks doesn't crash cls/seg evaluation. Unknown names go to
+        # every selected task (matching the old behavior for custom
+        # metrics).
+        metric_task = {"accuracy": "cls", "support": "cls",
+                       "precision": "cls", "recall": "cls",
+                       "f1_score": "cls",
+                       "bbox": "det", "proposal": "det",
+                       "proposal_fast": "det",
+                       "mIoU": "seg", "mDice": "seg", "mFscore": "seg"}
+        per_task = {}
+        for m in args.eval:
+            t = metric_task.get(m)
+            for tt in ([t] if t else list(args.tasks)):
+                per_task.setdefault(tt, []).append(m)
+        for t, ms in per_task.items():
+            if t not in args.tasks:
+                logger.warning("--eval %s targets task %r which is not "
+                               "in --tasks; ignoring", ms, t)
+                continue
             kw = eval_kwargs.setdefault(t, {})
-            kw["metric"] = (args.eval[0] if len(args.eval) == 1
-                            else tuple(args.eval))
-    metrics = evaluate_results(datasets, results, eval_kwargs)
+            kw["metric"] = ms[0] if len(ms) == 1 else tuple(ms)
+    # cached-output runs may legitimately cover a dataset subset; live
+    # inference covering zero samples of a selected dataset is an error
+    metrics = evaluate_results(datasets, results, eval_kwargs,
+                               allow_empty=bool(args.test_outputs))
     logger.info("metrics: %s", json.dumps(metrics, indent=2))
     out_path = args.eval_out or (
         os.path.join(args.work_dir, "eval_metrics.json")
