@@ -207,8 +207,12 @@ def make_eval_fn(cfg, model, max_per_img: int = 300,
                    for t in ("cls", "det", "seg")}
 
     def eval_fn(runner):
-        results = single_device_test(infer, runner.params, loaders,
-                                     max_batches=max_batches, mesh=mesh)
+        # Multi-host / sharded-params train-time eval — the reference
+        # stubs the distributed case (mtl/apis/train.py:100-101); see
+        # engine/test.py adaptive_process_test.
+        from rscotr_tpu.engine.test import adaptive_process_test
+        results = adaptive_process_test(infer, runner.params, loaders,
+                                        max_batches=max_batches, mesh=mesh)
         return evaluate_results(val_datasets, results, eval_kwargs)
 
     return eval_fn

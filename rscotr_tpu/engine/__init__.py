@@ -9,7 +9,9 @@ from rscotr_tpu.engine.optimizer import (MtlOptimizer, build_optimizer,
                                          paramwise_multipliers,
                                          task_param_masks)
 from rscotr_tpu.engine.runner import IterBasedRunner
-from rscotr_tpu.engine.test import (evaluate_results, multi_process_test,
+from rscotr_tpu.engine.test import (adaptive_process_test,
+                                    evaluate_results,
+                                    multi_process_test,
                                     single_device_test)
 from rscotr_tpu.engine.train_step import (TrainStepConfig, cls_batch_augment,
                                           make_infer_steps,
@@ -24,6 +26,7 @@ __all__ = [
     "MultiDatasetsEvalHook", "MtlOptimizer", "build_optimizer",
     "make_lr_schedule", "paramwise_multipliers", "task_param_masks",
     "IterBasedRunner", "single_device_test", "multi_process_test",
+    "adaptive_process_test",
     "evaluate_results",
     "TrainStepConfig", "make_train_step", "make_scan_train_step",
     "make_val_step", "make_infer_steps", "parse_losses",

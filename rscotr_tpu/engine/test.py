@@ -112,6 +112,30 @@ def multi_process_test(infer_steps: Dict[str, Callable], params,
     return merge_strided_results(all_gather_pyobjects(local))
 
 
+def adaptive_process_test(infer_steps: Dict[str, Callable], params,
+                          loaders: Dict[str, Any], max_batches: int = 0,
+                          mesh=None) -> Dict[str, List]:
+    """Train-time eval entry point that works on every topology the runner
+    supports. Single process: ``single_device_test`` (optionally sharding
+    batches over ``mesh`` — FSDP/TP-sharded global params are consumed by
+    the jitted infer steps as-is). Multi process: ``params`` may be
+    FSDP/TP-sharded global arrays whose shards are NOT all addressable
+    from this process, so gather them to host once (collective — every
+    process must call this together, same contract as ``save_checkpoint``)
+    and run the strided ``multi_process_test`` on local devices.
+
+    The reference stubs distributed train-time eval
+    (/root/reference/mtl/apis/train.py:100-101); this exceeds it."""
+    if jax.process_count() > 1:
+        from rscotr_tpu.engine.checkpoint import gather_to_host
+
+        host_params = gather_to_host(params)
+        return multi_process_test(infer_steps, host_params, loaders,
+                                  max_batches=max_batches)
+    return single_device_test(infer_steps, params, loaders,
+                              max_batches=max_batches, mesh=mesh)
+
+
 def _strided_test(infer_steps: Dict[str, Callable], params,
                   loaders: Dict[str, Any], max_batches: int = 0,
                   mesh=None, stride: int = 1, offset: int = 0

@@ -161,8 +161,17 @@ def det_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
 
     label_emb = params["params"]["bbox_head"]["label_embedding"]
     k_cdn, rng = jax.random.split(rng)
+    # parity hook: a batch may carry pre-drawn CDN noise (dn_noise_* keys)
+    # so torch-oracle tests drive both stacks with identical draws
+    noise = None
+    if "dn_noise_p" in batch:
+        noise = {"p": batch["dn_noise_p"],
+                 "new_label": batch["dn_noise_new_label"],
+                 "sign": batch["dn_noise_sign"],
+                 "part": batch["dn_noise_part"]}
     dn_label_q, dn_bbox_q = generate_cdn_queries(
-        k_cdn, gt_norm, gt_labels, gt_valid, label_emb, cfg.cdn)
+        k_cdn, gt_norm, gt_labels, gt_valid, label_emb, cfg.cdn,
+        noise=noise)
     attn_mask = jnp.asarray(cdn_self_attn_mask(cfg.cdn))
 
     all_cls, all_coords, topk_score, topk_anchor = model.apply(

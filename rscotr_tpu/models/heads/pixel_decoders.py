@@ -175,8 +175,33 @@ class MlvlSegPixelDecoder(nn.Module):
         return mask_feature, multi_scale_features
 
 
+def _interp_matrix(out_size: int, in_size: int) -> "np.ndarray":
+    """(out, in) row-stochastic bilinear sampling matrix with half-pixel
+    centers and edge clamping — the exact grid of torch
+    ``F.interpolate(mode='bilinear', align_corners=False)``."""
+    import numpy as np
+    ys = np.clip((np.arange(out_size) + 0.5) * in_size / out_size - 0.5,
+                 0, in_size - 1)
+    y0 = np.floor(ys).astype(int)
+    y1 = np.minimum(y0 + 1, in_size - 1)
+    wy = ys - y0
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), y0] += 1.0 - wy
+    m[np.arange(out_size), y1] += wy
+    return m
+
+
 def _resize_bilinear(x: jnp.ndarray, hw) -> jnp.ndarray:
-    """Bilinear resize, align_corners=False semantics (half-pixel centers)."""
-    import jax
-    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[3]),
-                            method="linear")
+    """Bilinear NHWC resize, align_corners=False semantics (half-pixel
+    centers, point sampling) — matches torch ``F.interpolate`` for BOTH
+    up- and down-sampling. ``jax.image.resize`` is NOT usable here: it
+    antialiases minification (the reference's mask2former attention-mask
+    downsample, mask2former_head.py:180-182, does not), which flips
+    threshold bits. Two static matmuls — MXU-friendly like
+    ``jax.image.resize``'s own lowering."""
+    h, w = int(hw[0]), int(hw[1])
+    if (h, w) == (int(x.shape[1]), int(x.shape[2])):
+        return x
+    my = jnp.asarray(_interp_matrix(h, int(x.shape[1])), x.dtype)
+    mx = jnp.asarray(_interp_matrix(w, int(x.shape[2])), x.dtype)
+    return jnp.einsum("yh,bhwc,xw->byxc", my, x, mx)

@@ -46,12 +46,12 @@ class DeformableEncoderLayer(nn.Module):
                 key_padding_mask=key_padding_mask,
                 reference_points=reference_points,
                 spatial_shapes=spatial_shapes, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = FFN(embed_dims=self.embed_dims,
                 feedforward_channels=self.feedforward_channels,
                 ffn_drop=self.ffn_drop, dtype=self.dtype, name="ffn")(
                     x, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return x
 
 
@@ -119,7 +119,7 @@ class DinoDecoderLayer(nn.Module):
             dropout=self.dropout, dtype=self.dtype, name="self_attn")(
                 query=x, query_pos=query_pos, attn_mask=self_attn_mask,
                 deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = MultiScaleDeformableAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=self.num_levels, num_points=self.num_points,
@@ -128,12 +128,12 @@ class DinoDecoderLayer(nn.Module):
                 key_padding_mask=key_padding_mask,
                 reference_points=reference_points,
                 spatial_shapes=spatial_shapes, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = FFN(embed_dims=self.embed_dims,
                 feedforward_channels=self.feedforward_channels,
                 ffn_drop=self.ffn_drop, dtype=self.dtype, name="ffn")(
                     x, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm3")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         return x
 
 
@@ -155,15 +155,15 @@ class MaskedAttentionDecoderLayer(nn.Module):
                 query=x, key=memory, value=memory, query_pos=query_pos,
                 key_pos=key_pos, attn_mask=cross_attn_mask,
                 deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = MultiheadAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             dropout=self.dropout, dtype=self.dtype, name="self_attn")(
                 query=x, query_pos=query_pos, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = FFN(embed_dims=self.embed_dims,
                 feedforward_channels=self.feedforward_channels,
                 ffn_drop=self.ffn_drop, dtype=self.dtype, name="ffn")(
                     x, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm3")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         return x

@@ -39,7 +39,7 @@ class ChannelMapper(nn.Module):
                         use_bias=not self.use_norm, dtype=self.dtype,
                         name=f"convs_{i}")(f)
             if self.use_norm:
-                x = nn.GroupNorm(num_groups=self.norm_groups,
+                x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                                  name=f"gn_{i}")(x)
             if self.act == "relu":
                 x = nn.relu(x)
@@ -53,7 +53,7 @@ class ChannelMapper(nn.Module):
                         use_bias=not self.use_norm, dtype=self.dtype,
                         name=f"extra_convs_{j}")(src)
             if self.use_norm:
-                x = nn.GroupNorm(num_groups=self.norm_groups,
+                x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                                  name=f"extra_gn_{j}")(x)
             if self.act == "relu":
                 x = nn.relu(x)

@@ -131,7 +131,9 @@ def main():
     steps = {"cls": make_train_step(model, opt, "cls", cfg, donate=False)}
     losses = []
 
-    from rscotr_tpu.engine.hooks import Hook
+    from rscotr_tpu.engine.hooks import Hook, MultiDatasetsEvalHook
+    from rscotr_tpu.engine.test import (adaptive_process_test,
+                                        evaluate_results)
 
     class LossTap(Hook):
         def after_train_iter(self, runner):
@@ -144,10 +146,64 @@ def main():
         def after_run(self, runner):
             pass
 
+    # train-time eval + save-best over the SAME topology (VERDICT r2 #2):
+    # every process enters eval_fn together; adaptive_process_test strides
+    # the batches across processes (and host-gathers FSDP-sharded params),
+    # so the metrics — and hence the save-best decision — are identical on
+    # every process and to the 1-process run.
+    class ValDs:
+        task = "cls"
+        CLASSES = Ds.CLASSES
+
+        def __len__(self):
+            return 16
+
+        def evaluate(self, results, **kw):
+            labels = np.asarray([i % 7 for i in range(len(results))])
+            pred = np.asarray([np.argmax(r) for r in results])
+            return {"accuracy": float((pred == labels).mean() * 100.0)}
+
+    def val_collate(idxs):
+        ds = Ds()
+        return collate([ds[i] for i in idxs])
+
+    class ValLoader:
+        """Deterministic sequential loader (each process sees ALL batches;
+        striding happens inside adaptive_process_test)."""
+        batch_size = 4
+        dataset = ValDs()
+
+        def __iter__(self):
+            for s in range(0, 16, 4):
+                yield val_collate(range(s, s + 4))
+
+    import jax.numpy as _jnp
+
+    @jax.jit
+    def cls_infer(p, img):
+        return jax.nn.softmax(
+            model.apply(p, img, deterministic=True,
+                        method=model.forward_cls), -1)
+
+    val_loaders = {"resisc_val": ValLoader()}
+    eval_metrics = []
+
+    def eval_fn(runner):
+        results = adaptive_process_test({"cls": cls_infer}, runner.params,
+                                        val_loaders)
+        m = evaluate_results({"resisc_val": ValDs()}, results,
+                             {"cls": {}, "det": {}, "seg": {}})
+        eval_metrics.append(m)
+        return m
+
     with mesh:
         runner = IterBasedRunner(steps, params, opt_state, args.steps,
                                  mesh=mesh, prefetch=0)
         runner.register_hook(LossTap())
+        runner.register_hook(MultiDatasetsEvalHook(
+            eval_fn, interval=2,
+            save_best={"resisc_val.accuracy": 1.0},
+            work_dir=os.path.abspath(args.out) + "_wd"))
         runner.run(ml)
 
     # full host values on every process (collective for FSDP shards)
@@ -157,10 +213,14 @@ def main():
     # gather inside is a collective), process 0 writes
     ckpt = save_checkpoint(os.path.abspath(args.out) + "_wd",
                            runner.step, runner.params, runner.opt_state)
+    best = os.path.join(os.path.abspath(args.out) + "_wd",
+                        "best_checkpoint")
     if jax.process_index() == 0:
         with open(args.out, "wb") as f:
             pickle.dump({"losses": losses, "params": final,
-                         "ckpt": ckpt}, f)
+                         "ckpt": ckpt, "eval_metrics": eval_metrics,
+                         "best_ckpt": best if os.path.isdir(best)
+                         else None}, f)
     # multi-process teardown can hang on this host; results are on disk
     if args.num_processes > 1:
         try:

@@ -158,15 +158,29 @@ class TestTwoProcessTrajectory:
                 assert k1 == k2
                 np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
+    @staticmethod
+    def _assert_eval_cycle_matches(single, run):
+        """Train-time eval + save-best ran (interval=2 over 4 steps -> 2
+        evals), produced identical metrics to the 1-process run on every
+        topology, and wrote the best checkpoint (VERDICT r2 #2)."""
+        assert len(run["eval_metrics"]) == len(single["eval_metrics"]) == 2
+        for ms, mr in zip(single["eval_metrics"], run["eval_metrics"]):
+            assert ms.keys() == mr.keys()
+            for k in ms:
+                np.testing.assert_allclose(ms[k], mr[k], rtol=1e-6)
+        assert run["best_ckpt"] is not None
+
     def test_two_process_matches_single(self, tmp_path):
         single = self._run_single(tmp_path)
         double = self._run_double(tmp_path, port=19731)
         np.testing.assert_allclose(single["losses"], double["losses"],
                                    rtol=1e-4, atol=1e-6)
         self._assert_params_match(single, double)
+        self._assert_eval_cycle_matches(single, double)
 
         # FSDP variant: params + Adam moments sharded over 'data' across
-        # BOTH processes — trajectory must be identical, and the 2-process
+        # BOTH processes — trajectory must be identical, the eval hook must
+        # host-gather the non-addressable shards, and the 2-process
         # checkpoint save (collective host gather, proc-0 write) must
         # round-trip the same params
         fsdp = self._run_double(tmp_path, port=19733, tag="f",
@@ -174,7 +188,10 @@ class TestTwoProcessTrajectory:
         np.testing.assert_allclose(single["losses"], fsdp["losses"],
                                    rtol=1e-4, atol=1e-6)
         self._assert_params_match(single, fsdp)
+        self._assert_eval_cycle_matches(single, fsdp)
         from rscotr_tpu.engine.checkpoint import load_checkpoint
         ck = load_checkpoint(fsdp["ckpt"])
         self._assert_params_match(single, ck)
         assert ck["meta"]["iter"] == 4
+        best = load_checkpoint(fsdp["best_ckpt"])
+        assert "best_score" in best["meta"]

@@ -357,6 +357,44 @@ def test_sharded_eval_equals_unsharded_eval(cls_setup, cpu_mesh):
         np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
 
 
+def test_fsdp_sharded_params_eval_equals_replicated(cls_setup, cpu_mesh):
+    """VERDICT r2 #2: the train-time eval hook consumes runner.params
+    AS-IS — with cfg.parallel.fsdp they are FSDP-sharded global arrays.
+    The jitted infer steps must produce identical results from sharded
+    params (XLA all-gathers them), via the same adaptive_process_test
+    entry point make_eval_fn uses."""
+    from rscotr_tpu.data.datasets import SyntheticClsDataset
+    from rscotr_tpu.data.loader import TaskDataLoader, collate_cls
+    from rscotr_tpu.engine import adaptive_process_test, make_infer_steps
+    from rscotr_tpu.parallel import shard_params_fsdp
+
+    cfg = Config.fromfile(
+        os.path.join(ROOT, "configs/multi/MTL_tiny_synthetic.py"))
+    cfg.model["bbox_head"] = None
+    cfg.model["seg_head"] = None
+    model = build_model(cfg.model)
+    params, _, _ = cls_setup
+
+    ds = SyntheticClsDataset(length=16, img_size=128, num_classes=45)
+    ds.dataset_name = "a"
+    ds.task = "cls"
+    dl = TaskDataLoader(ds, batch_size=8, collate_fn=collate_cls,
+                        shuffle=False, seed=0, num_threads=1,
+                        drop_last=False)
+    infer = make_infer_steps(model)
+    params_f = shard_params_fsdp(params, cpu_mesh)
+    assert any(not leaf.sharding.is_fully_replicated
+               for leaf in jax.tree.leaves(params_f))
+
+    with jax.default_matmul_precision("highest"):
+        plain = adaptive_process_test(infer, params, {"a": dl})
+        sharded = adaptive_process_test(infer, params_f, {"a": dl},
+                                        mesh=cpu_mesh)
+    assert len(plain["a"]) == len(sharded["a"]) == 16
+    for x, y in zip(plain["a"], sharded["a"]):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+
 def test_fsdp_with_grad_accumulation(cls_setup, cpu_mesh):
     """ADVICE r2: with cumulative_iters>1 the opt_state gains accum /
     accum_mask leaves; shard_opt_state_fsdp must place accum like the
