@@ -42,7 +42,13 @@ def derive_shapes(cfg) -> Dict[str, tuple]:
             s = opts.get("cls_size", 224)
             shapes["cls"] = (bs, s, s, 3)
         elif task == "det":
-            hb, wb = opts.get("det_bucket_hw", (800, 800))
+            bucket = opts.get("det_bucket_hw", (800, 800))
+            if isinstance(bucket[0], (tuple, list)):
+                # bucket LIST (non-square/keep-ratio pipelines): init on
+                # the largest bucket; each bucket compiles its own step
+                # lazily at first use (jit retrace per static shape)
+                bucket = max(bucket, key=lambda b: b[0] * b[1])
+            hb, wb = bucket
             shapes["det"] = (bs, hb, wb, 3)
             shapes["det_max_gt"] = opts.get("max_gt", 100)
         elif task == "seg":
@@ -106,16 +112,39 @@ def make_step_config(cfg) -> TrainStepConfig:
         cls_use_augments=bool(train_cls.get("augments")),
         seg_ignore_index=255,
         cdn=cdn_cfg, det=det_cfg,
-        img_norm=derive_img_norm(cfg))
+        img_norm=derive_img_norm(cfg),
+        device_aug=derive_device_aug(cfg))
+
+
+def derive_device_aug(cfg):
+    """DeviceAugmentConfig for the cls step when a cls loader opts into
+    device-side augmentation (loader.cls_device_augment; the pipeline
+    rewrite happens in data/build.py)."""
+    for entry in cfg.data.values():
+        opts = dict(entry.get("loader", {}))
+        if entry["task"] != "cls" or not opts.get("cls_device_augment"):
+            continue
+        from rscotr_tpu.data.pipelines import split_device_augment_cfg
+        from rscotr_tpu.ops.device_augment import DeviceAugmentConfig
+        dcfg = entry["data"].get("train") or {}
+        _, _, kw = split_device_augment_cfg(
+            list(dcfg.get("pipeline", []) or []),
+            src_size=opts.get("cls_src_size", 256))
+        return DeviceAugmentConfig(**kw)
+    return None
 
 
 def derive_img_norm(cfg):
     """(mean, std) for device-side preprocessing, from the Normalize op of
-    any dataset whose loader sets device_preprocess. All reference datasets
-    share the ImageNet stats; mixed stats would need per-task plumbing."""
+    any dataset whose loader sets device_preprocess (or the cls
+    device-augment mode, which implies device-side Normalize). All
+    reference datasets share the ImageNet stats; mixed stats would need
+    per-task plumbing."""
     found = None
     for entry in cfg.data.values():
-        if not dict(entry.get("loader", {})).get("device_preprocess"):
+        opts = dict(entry.get("loader", {}))
+        if not (opts.get("device_preprocess") or
+                opts.get("cls_device_augment")):
             continue
         for split in ("train", "val", "test"):
             dcfg = entry["data"].get(split) or {}
@@ -131,7 +160,9 @@ def derive_img_norm(cfg):
         # default ImageNet stats (used when pipelines carry no Normalize,
         # e.g. raw-image inference with device_preprocess)
         for entry in cfg.data.values():
-            if dict(entry.get("loader", {})).get("device_preprocess"):
+            opts = dict(entry.get("loader", {}))
+            if opts.get("device_preprocess") or \
+                    opts.get("cls_device_augment"):
                 return ((123.675, 116.28, 103.53),
                         (58.395, 57.12, 57.375))
     return found

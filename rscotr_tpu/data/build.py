@@ -125,7 +125,18 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
         pcfg = list(ds.pipeline_cfg or [])
         collate = _COLLATES[ds.task](opts)
         img_norm = None
-        if opts.get("device_preprocess", False):
+        if train and ds.task == "cls" and \
+                opts.get("cls_device_augment", False):
+            # RRC/flip/RandAugment/erase pixel work moves into the jitted
+            # cls step; the host draws only the per-sample parameters
+            # (pipelines.DeviceAugmentPlanner). Normalize moves to the
+            # device too (augments need raw 0..255 input).
+            from rscotr_tpu.data.loader import collate_cls_aug
+            from rscotr_tpu.data.pipelines import split_device_augment_cfg
+            pcfg, img_norm, _ = split_device_augment_cfg(
+                pcfg, src_size=opts.get("cls_src_size", 256))
+            collate = collate_cls_aug
+        elif opts.get("device_preprocess", False):
             # strip Normalize from the host pipeline; ship uint8, the
             # jitted step normalizes (+ re-zeros padding) on device
             pcfg, img_norm = split_normalize_cfg(pcfg)

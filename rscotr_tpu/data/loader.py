@@ -33,10 +33,48 @@ def collate_cls(samples: List[dict]) -> Dict[str, np.ndarray]:
     }
 
 
+_AUG_KEYS = ("aug_crop_y", "aug_crop_x", "aug_crop_h", "aug_crop_w",
+             "aug_flip", "aug_op_id", "aug_op_m", "aug_erase_on",
+             "aug_erase_y", "aug_erase_x", "aug_erase_h", "aug_erase_w")
+
+
+def collate_cls_aug(samples: List[dict]) -> Dict[str, np.ndarray]:
+    """Device-augment mode: raw uint8 images + per-sample ``aug_*``
+    parameter records from DeviceAugmentPlanner (pixel work runs on TPU
+    inside the jitted cls train step)."""
+    batch = {
+        "img": np.stack([s["img"] for s in samples]).astype(np.uint8),
+        "gt_label": np.asarray([s["gt_label"] for s in samples], np.int32),
+    }
+    for k in _AUG_KEYS:
+        batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+    return batch
+
+
+def select_det_bucket(bucket_hw, h: int, w: int):
+    """Pick the smallest-area bucket fitting (h, w).
+
+    ``bucket_hw`` is one (H, W) pair or a list of pairs (config knob
+    ``det_bucket_hw``): the reference's keep-ratio (1333, 800) pipeline
+    produces non-square shapes, so a single square bucket wastes padding
+    FLOPs or rejects wide images — a bucket LIST compiles one step per
+    bucket and pads each batch to the tightest fit."""
+    if not isinstance(bucket_hw[0], (tuple, list)):
+        buckets = [tuple(bucket_hw)]
+    else:
+        buckets = [tuple(b) for b in bucket_hw]
+    fits = [b for b in buckets if b[0] >= h and b[1] >= w]
+    assert fits, (f"image {h}x{w} exceeds every det bucket {buckets}; "
+                  "add a larger entry to loader.det_bucket_hw")
+    return min(fits, key=lambda b: b[0] * b[1])
+
+
 def collate_det(samples: List[dict], bucket_hw, max_gt: int
                 ) -> Dict[str, np.ndarray]:
     B = len(samples)
-    H, W = bucket_hw
+    hmax = max(s["img"].shape[0] for s in samples)
+    wmax = max(s["img"].shape[1] for s in samples)
+    H, W = select_det_bucket(bucket_hw, hmax, wmax)
     img = np.zeros((B, H, W, 3), np.float32)
     img_hw = np.zeros((B, 2), np.int32)
     scale_factor = np.ones((B, 4), np.float32)

@@ -195,9 +195,9 @@ class RandomResizedCrop:
         self.ratio = ratio
         self.interpolation = interpolation
 
-    def __call__(self, results, rng):
-        img = results["img"]
-        h, w = img.shape[:2]
+    def draw_box(self, h, w, rng):
+        """(y, x, ch, cw) — the single source of truth for the crop
+        distribution, shared with DeviceAugmentPlanner."""
         area = h * w
         for _ in range(10):
             target_area = rng.uniform(*self.scale) * area
@@ -208,15 +208,14 @@ class RandomResizedCrop:
             if 0 < cw <= w and 0 < ch <= h:
                 y = int(rng.integers(0, h - ch + 1))
                 x = int(rng.integers(0, w - cw + 1))
-                crop = img[y:y + ch, x:x + cw]
-                results["img"] = _resize_img(crop, self.size,
-                                             self.interpolation)
-                results["img_shape"] = results["img"].shape
-                return results
-        # fallback: center crop
-        s = min(h, w)
-        y, x = (h - s) // 2, (w - s) // 2
-        results["img"] = _resize_img(img[y:y + s, x:x + s], self.size,
+                return y, x, ch, cw
+        s = min(h, w)                       # fallback: center crop
+        return (h - s) // 2, (w - s) // 2, s, s
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        y, x, ch, cw = self.draw_box(*img.shape[:2], rng)
+        results["img"] = _resize_img(img[y:y + ch, x:x + cw], self.size,
                                      self.interpolation)
         results["img_shape"] = results["img"].shape
         return results
@@ -353,11 +352,10 @@ class RandomErasing:
         self.fill_color = np.asarray(fill_color, np.float32)
         self.fill_std = np.asarray(fill_std, np.float32)
 
-    def __call__(self, results, rng):
+    def draw_box(self, h, w, rng):
+        """(on, y, x, eh, ew) — shared with DeviceAugmentPlanner."""
         if rng.uniform() > self.erase_prob:
-            return results
-        img = results["img"]
-        h, w = img.shape[:2]
+            return False, 0, 0, 0, 0
         area = h * w * rng.uniform(self.min_area_ratio, self.max_area_ratio)
         ar = np.exp(rng.uniform(np.log(self.aspect_range[0]),
                                 np.log(self.aspect_range[1])))
@@ -365,6 +363,13 @@ class RandomErasing:
         ew = min(int(round(np.sqrt(area * ar))), w)
         y = int(rng.integers(0, h - eh + 1))
         x = int(rng.integers(0, w - ew + 1))
+        return True, y, x, eh, ew
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        on, y, x, eh, ew = self.draw_box(*img.shape[:2], rng)
+        if not on:
+            return results
         if self.mode == "rand":
             patch = rng.normal(size=(eh, ew, 3)) * self.fill_std + \
                 self.fill_color
@@ -511,18 +516,26 @@ class RandAugment:
                     raise KeyError(f"unknown RandAugment policy {t!r}")
                 self.ops.append(table[name])
 
-    def __call__(self, results, rng):
-        img = results["img"]
+    def draw_ops(self, rng):
+        """[(op_index_into_self.ops, signed_magnitude)] * num_policies —
+        shared with DeviceAugmentPlanner."""
+        out = []
         for _ in range(self.num_policies):
-            name, fn, signed = self.ops[
-                int(rng.integers(0, len(self.ops)))]
+            i = int(rng.integers(0, len(self.ops)))
+            signed = self.ops[i][2]
             mag = self.magnitude_level
             if self.magnitude_std > 0:
                 mag = rng.normal(mag, self.magnitude_std)
             m = float(np.clip(mag, 0, self.total_level)) / self.total_level
             if signed and rng.integers(2):
                 m = -m
-            img = fn(img, m)
+            out.append((i, m))
+        return out
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        for i, m in self.draw_ops(rng):
+            img = self.ops[i][1](img, m)
         results["img"] = img
         return results
 
@@ -569,6 +582,103 @@ class AutoAugment:
         i = int(rng.integers(0, len(self.policies))) if rng is not None \
             else 0
         return run_pipeline(self.policies[i], results, rng)
+
+
+@PIPELINES.register_module(name="DeviceAugmentPlanner")
+class DeviceAugmentPlanner:
+    """Parameter-only twin of the cls train augment tail.
+
+    Replaces [RandomResizedCrop, RandomFlip, RandAugment, RandomErasing,
+    Normalize] when ``loader.cls_device_augment`` is set: instead of doing
+    the per-image pixel work on the host (measured 25 ms/img, PERF.md),
+    it draws the SAME random parameters (via the original ops' shared
+    ``draw_box``/``draw_ops`` methods — single source of truth for the
+    distributions) and ships the raw uint8 image + tiny ``aug_*`` records;
+    ``ops/device_augment.cls_device_augment`` executes the pixel work
+    batched on TPU inside the jitted train step."""
+
+    def __init__(self, rrc=None, flip=None, rand_aug=None, erase=None,
+                 src_size=256):
+        from rscotr_tpu.ops.device_augment import RAND_AUG_OP_NAMES
+        self.src_size = src_size
+        self.rrc = RandomResizedCrop(**(rrc or {}))
+        fl = dict(flip or {})
+        self.flip_prob = fl.get("flip_prob", fl.get("prob", 0.5))
+        assert fl.get("direction", "horizontal") == "horizontal"
+        self.rand_aug = RandAugment(**(rand_aug or {}))
+        # map the (possibly policy-filtered/ordered) op pool to canonical
+        # device op ids
+        self.op_canon = np.asarray(
+            [RAND_AUG_OP_NAMES.index(name)
+             for name, _, _ in self.rand_aug.ops], np.int32)
+        self.erase = RandomErasing(**(erase or {}))
+        assert self.erase.mode in ("rand", "const")
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        h, w = img.shape[:2]
+        if (h, w) != (self.src_size, self.src_size):
+            # static device shapes need a fixed source size; RESISC is
+            # uniformly 256x256 so this is a safety net, not the hot path
+            img = _resize_img(img, (self.src_size, self.src_size),
+                              "bicubic")
+            h = w = self.src_size
+        results["img"] = np.clip(np.round(img), 0, 255).astype(np.uint8)
+        y, x, ch, cw = self.rrc.draw_box(h, w, rng)
+        results["aug_crop_y"] = np.int32(y)
+        results["aug_crop_x"] = np.int32(x)
+        results["aug_crop_h"] = np.int32(ch)
+        results["aug_crop_w"] = np.int32(cw)
+        results["aug_flip"] = bool(
+            rng.uniform() < self.flip_prob if self.flip_prob else False)
+        ops = self.rand_aug.draw_ops(rng)
+        results["aug_op_id"] = np.asarray(
+            [self.op_canon[i] for i, _ in ops], np.int32)
+        results["aug_op_m"] = np.asarray([m for _, m in ops], np.float32)
+        oh, ow = self.rrc.size
+        on, ey, ex, eh, ew = self.erase.draw_box(oh, ow, rng)
+        results["aug_erase_on"] = bool(on)
+        results["aug_erase_y"] = np.int32(ey)
+        results["aug_erase_x"] = np.int32(ex)
+        results["aug_erase_h"] = np.int32(eh)
+        results["aug_erase_w"] = np.int32(ew)
+        return results
+
+
+def split_device_augment_cfg(cfgs: Sequence[dict], src_size: int = 256):
+    """Rewrite a cls train pipeline for device-side augmentation: the
+    augment tail becomes one DeviceAugmentPlanner cfg; Normalize moves to
+    the device (returned as ``img_norm``). Returns
+    (new_cfgs, img_norm, device_aug_cfg_kwargs) — device_aug_cfg_kwargs
+    feeds ops/device_augment.DeviceAugmentConfig."""
+    head, parts, norm = [], {}, None
+    keymap = {"RandomResizedCrop": "rrc", "RandomFlip": "flip",
+              "RandAugment": "rand_aug", "RandomErasing": "erase"}
+    for c in cfgs:
+        t = c.get("type")
+        if t in keymap:
+            parts[keymap[t]] = {k: v for k, v in c.items() if k != "type"}
+        elif t == "Normalize":
+            norm = {"mean": list(c.get("mean", DEFAULT_MEAN)),
+                    "std": list(c.get("std", DEFAULT_STD))}
+        else:
+            assert not parts, (
+                f"op {t!r} after the augment tail started — device "
+                "augment supports the reference cls pipeline order")
+            head.append(c)
+    assert "rrc" in parts, "cls_device_augment needs a RandomResizedCrop"
+    planner_cfg = dict(type="DeviceAugmentPlanner", src_size=src_size,
+                       **parts)
+    rrc_size = parts["rrc"].get("size", 224)
+    erase = parts.get("erase", {})
+    dev_cfg = dict(
+        src_size=src_size,
+        out_size=rrc_size if isinstance(rrc_size, int) else rrc_size[0],
+        erase_fill=tuple(erase.get("fill_color", (128, 128, 128))),
+        erase_fill_std=tuple(erase.get("fill_std", (0, 0, 0))),
+        num_policies=int(parts.get("rand_aug", {}).get(
+            "num_policies", 2)))
+    return head + [planner_cfg], norm, dev_cfg
 
 
 def split_normalize_cfg(cfgs: Sequence[dict]):

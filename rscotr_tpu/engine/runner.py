@@ -281,11 +281,20 @@ class IterBasedRunner:
         buf = state["buf"]
         if not buf:
             buf.append(self._draw(state, multi_loader))
-        key = (buf[0]["task"], buf[0]["dataset_name"])
+
+        def gkey(b):
+            # batch shape is part of the group identity: multi-bucket det
+            # loaders (det_bucket_hw list) emit different static shapes
+            # for the same dataset, and stacking/scanning requires
+            # shape-homogeneous groups
+            return (b["task"], b["dataset_name"],
+                    tuple(getattr(b.get("img"), "shape", ()) or ()))
+
+        key = gkey(buf[0])
         group = [buf.popleft()]
         i = 0
         while len(group) < k and i < len(buf):
-            if (buf[i]["task"], buf[i]["dataset_name"]) == key:
+            if gkey(buf[i]) == key:
                 group.append(buf[i])
                 del buf[i]
             else:
@@ -293,7 +302,7 @@ class IterBasedRunner:
         cap = 4 * k
         while len(group) < k and len(buf) < cap:
             b = self._draw(state, multi_loader)
-            if (b["task"], b["dataset_name"]) == key:
+            if gkey(b) == key:
                 group.append(b)
             else:
                 buf.append(b)
@@ -339,13 +348,14 @@ class IterBasedRunner:
         t_last = time.perf_counter()
         while self.step < self.max_iters and not self._should_stop():
             k_eff = min(K, self._hook_boundary())
-            (task, dataset_name), group = self._next_group(
+            (task, dataset_name, img_shape), group = self._next_group(
                 state, multi_loader, k_eff)
-            if (task, len(group)) not in seen_shapes:
-                seen_shapes.add((task, len(group)))
+            if (task, img_shape, len(group)) not in seen_shapes:
+                seen_shapes.add((task, img_shape, len(group)))
                 self.logger.info(
-                    "scan-dispatch: first (%s, n=%d) group — compiling a "
-                    "new scan graph (slow once per shape)", task, len(group))
+                    "scan-dispatch: first (%s, img=%s, n=%d) group — "
+                    "compiling a new scan graph (slow once per shape)",
+                    task, img_shape, len(group))
             t_data = time.perf_counter()
             self._maybe_profile()
             batches = self._stack_group(group)

@@ -45,6 +45,9 @@ class TrainStepConfig:
     # device-side preprocessing: (mean, std) in 0-255 range; applied inside
     # the jitted step whenever the batch image dtype is uint8
     img_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
+    # device-side cls augmentation (ops/device_augment): set when the cls
+    # loader runs in cls_device_augment mode (batch carries aug_* records)
+    device_aug: Optional[object] = None
 
 
 def device_normalize(img, img_norm, img_hw=None):
@@ -112,7 +115,21 @@ def cls_batch_augment(rng, img, labels, num_classes, mixup_alpha=0.8,
 
 def cls_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
                 train: bool = True):
-    img = device_normalize(batch["img"], cfg.img_norm)
+    if train and cfg.device_aug is not None and "aug_op_id" in batch:
+        # on-device augment stage (RRC + flip + RandAugment + erase on
+        # raw 0..255), then explicit normalize — the host pipeline's
+        # Normalize-last order (ops/device_augment.py)
+        from rscotr_tpu.ops.device_augment import cls_device_augment
+        k_noise, rng = jax.random.split(rng)
+        aug = {k[len("aug_"):]: batch[k] for k in batch
+               if k.startswith("aug_")}
+        img = cls_device_augment(batch["img"], aug, cfg.device_aug,
+                                 noise_key=k_noise)
+        mean, std = cfg.img_norm if cfg.img_norm is not None else (
+            (123.675, 116.28, 103.53), (58.395, 57.12, 57.375))
+        img = (img - jnp.asarray(mean)) / jnp.asarray(std)
+    else:
+        img = device_normalize(batch["img"], cfg.img_norm)
     labels = batch["gt_label"]
     if train and cfg.cls_use_augments:
         k_aug, rng = jax.random.split(rng)

@@ -1,0 +1,438 @@
+"""On-device (jitted, batched) cls train augmentations.
+
+Kills the measured host input bottleneck (PERF.md 2026-08-19: cls host
+prep ~25 ms/img x 16 = 0.4 s/iter vs a 0.110 s/iter device mix): the
+pixel work of the reference cls train pipeline — RandomResizedCrop,
+RandomFlip, RandAugment (all 15 mmcls rand_increasing policies),
+RandomErasing (reference /root/reference/configs/_base_/cls/
+resisc_swin_224.py + rand_aug.py) — runs as ONE jitted batch stage on
+TPU. The host only *draws the random parameters* (tiny per-sample
+records, data/pipelines.py DeviceAugmentPlanner) with the same
+distributions as the host pipeline ops, so augmentation semantics are
+unchanged; tests/test_device_augment.py checks each op against the
+host/PIL implementation on identical parameters.
+
+TPU-native formulation (no per-pixel gathers — the XLA gather cost model
+on this platform is ~7 ns per looked-up row, so 224*224*16-tap warps
+would cost ms/img):
+
+* RandomResizedCrop: PIL's antialiased bicubic resize is a pair of
+  per-image dense interpolation matrices (out x src) built from the crop
+  box with vectorized elementwise ops, applied as two batched matmuls —
+  MXU work, exact PIL weight formula (support scaled by the minification
+  factor, window clipped to the crop, renormalized).
+* Geometric RandAugment ops (Rotate / Shear x,y / Translate x,y) share
+  ONE generalized three-pass shear warp (rotation = shear_x o shear_y o
+  shear_x, Paeth decomposition; shears/translates use a single pass).
+  Each pass resamples rows (or columns) by a PER-ROW CONSTANT fractional
+  shift: a vmapped ``lax.dynamic_slice`` (one looked-up row per image
+  row — B*H lookups, microseconds under the gather cost model) plus a
+  4-tap cubic mix on the VPU.
+* Pointwise ops (AutoContrast, Equalize, Invert, Posterize, Solarize,
+  SolarizeAdd, Color, Contrast, Brightness, Sharpness) follow PIL's
+  integer semantics (uint8 rounding at op boundaries, integer L
+  conversion, histogram LUTs via one-hot matmuls).
+* Per-image op dispatch is compute-all-and-select: every image pays one
+  warp + all pointwise candidates per policy slot; the pointwise set is
+  a few elementwise passes over the batch, far below one model fwd/bwd.
+
+All shapes static; everything differentiability-free (input pipeline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# canonical op table order — mirrors data/pipelines.py RAND_AUG_OPS
+RAND_AUG_OP_NAMES = (
+    "AutoContrast", "Equalize", "Invert", "Rotate", "Posterize",
+    "Solarize", "SolarizeAdd", "ColorTransform", "Contrast", "Brightness",
+    "Sharpness", "Shear", "ShearY", "Translate", "TranslateY",
+)
+_GEOM = {"Rotate": 3, "Shear": 11, "ShearY": 12, "Translate": 13,
+         "TranslateY": 14}
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceAugmentConfig:
+    src_size: int = 256                 # decoded image size (RESISC: 256)
+    out_size: int = 224
+    fill: Tuple[float, float, float] = (124.0, 116.0, 104.0)   # RGB
+    erase_fill: Tuple[float, float, float] = (104.0, 116.0, 124.0)
+    erase_fill_std: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    num_policies: int = 2
+
+
+# ---------------------------------------------------------------------------
+# cubic kernels
+# ---------------------------------------------------------------------------
+
+def _cubic(x, a=-0.5):
+    """PIL/OpenCV bicubic kernel (a = -0.5), support 2."""
+    ax = jnp.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    w1 = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
+    w2 = a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a
+    return jnp.where(ax < 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# RandomResizedCrop: per-image PIL-antialias bicubic resize matrices
+# ---------------------------------------------------------------------------
+
+def _pil_resize_matrix(out_size: int, src_size: int, start, size):
+    """(B, out, src) PIL ``Image.resize(BICUBIC)`` weight rows for
+    resizing the half-open crop [start, start+size) to out_size.
+
+    PIL semantics: scale = size/out; filterscale = max(scale, 1);
+    center_i = start + (i+0.5)*scale; taps j weighted
+    cubic((j+0.5-center)/filterscale), window clipped to the crop and
+    renormalized. Built with pure elementwise/broadcast ops from the
+    per-image (start, size) scalars."""
+    B = start.shape[0]
+    start = start.astype(jnp.float32)
+    size = size.astype(jnp.float32)
+    scale = size / out_size                                    # (B,)
+    fscale = jnp.maximum(scale, 1.0)
+    i = jnp.arange(out_size, dtype=jnp.float32)                # (out,)
+    center = start[:, None] + (i[None, :] + 0.5) * scale[:, None]
+    j = jnp.arange(src_size, dtype=jnp.float32)                # (src,)
+    x = (j[None, None, :] + 0.5 - center[:, :, None]) / \
+        fscale[:, None, None]                                  # (B,out,src)
+    w = _cubic(x)
+    # clip the window to the crop box (PIL clips taps to the image)
+    inside = (j[None, None, :] >= start[:, None, None]) & \
+        (j[None, None, :] < (start + size)[:, None, None])
+    w = jnp.where(inside, w, 0.0)
+    return w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-8)
+
+
+def random_resized_crop(img, crop_y, crop_x, crop_h, crop_w,
+                        out_size: int):
+    """Batched PIL-equivalent ``img.crop(box).resize(out, BICUBIC)``.
+
+    img: (B, S, S, 3) float 0..255. Crop params: (B,) int32."""
+    S = img.shape[1]
+    my = _pil_resize_matrix(out_size, S, crop_y, crop_h)       # (B,out,S)
+    mx = _pil_resize_matrix(out_size, S, crop_x, crop_w)
+    out = jnp.einsum("bys,bswc->bywc", my, img)                # vertical
+    out = jnp.einsum("bxw,bywc->byxc", mx, out)                # horizontal
+    # PIL rounds to uint8 after resize
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# generalized 3-pass shear warp (rotate / shear / translate)
+# ---------------------------------------------------------------------------
+
+def _shift_rows(img, shift, fill, pad: int):
+    """Resample each row by a per-row constant fractional shift:
+    out[b, y, x] = in[b, y, x + shift[b, y]] (4-tap cubic, fill outside).
+
+    img: (B, H, W, C); shift: (B, H) float32. One vmapped dynamic_slice
+    per row — B*H looked-up rows, no per-pixel gather."""
+    B, H, W, C = img.shape
+    fill_row = jnp.broadcast_to(jnp.asarray(fill, img.dtype),
+                                (B, H, pad, C))
+    padded = jnp.concatenate([fill_row, img, fill_row], axis=2)
+    i0 = jnp.floor(shift).astype(jnp.int32)                    # (B, H)
+    frac = shift - i0
+    start = jnp.clip(i0 + pad - 1, 0, 2 * pad + W - (W + 4))
+    rows = padded.reshape(B * H, W + 2 * pad, C)
+    starts = start.reshape(B * H)
+
+    sl = jax.vmap(
+        lambda r, s: jax.lax.dynamic_slice(r, (s, 0), (W + 4, C)))(
+            rows, starts)                                      # (BH, W+4, C)
+    sl = sl.reshape(B, H, W + 4, C)
+    f = frac[:, :, None]                                       # (B, H, 1)
+    out = jnp.zeros((B, H, W, C), img.dtype)
+    for k in range(4):
+        # PIL's GEOMETRY bicubic (transform/rotate) is a = -1.0 — unlike
+        # its resize bicubic (a = -0.5); pinned by a delta-image probe
+        # against Pillow 12 (tests/test_device_augment.py)
+        w = _cubic(jnp.float32(k - 1) - f, a=-1.0)             # (B, H, 1)
+        out = out + w[..., None] * sl[:, :, k:k + W, :]
+    return out
+
+
+def _warp_pass_x(img, k, t, fill, pad, cy):
+    """Horizontal pass: src_x = x + k*(y) + t (y in raw pixel coords,
+    matching PIL AFFINE's uncentered shear)."""
+    B, H, W, _ = img.shape
+    y = jnp.arange(H, dtype=jnp.float32)[None, :] - cy
+    shift = k[:, None] * y + t[:, None]                        # (B, H)
+    return _shift_rows(img, shift, fill, pad)
+
+
+def _warp_pass_y(img, k, t, fill, pad, cx):
+    B, H, W, _ = img.shape
+    imgT = img.transpose(0, 2, 1, 3)
+    out = _warp_pass_x(imgT, k, t, fill, pad, cx)
+    return out.transpose(0, 2, 1, 3)
+
+
+def three_pass_warp(img, k1, t1, k2, t2, k3, t3, fill,
+                    cy=0.0, cx=0.0, pad: Optional[int] = None):
+    """shear_x(k1, t1) -> shear_y(k2, t2) -> shear_x(k3, t3); each pass a
+    per-row(-column) constant shift. Identity when all params are 0."""
+    if pad is None:
+        pad = img.shape[2] // 2 + 4
+    out = _warp_pass_x(img, k1, t1, fill, pad, cy)
+    out = _warp_pass_y(out, k2, t2, fill, pad, cx)
+    out = _warp_pass_x(out, k3, t3, fill, pad, cy)
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
+def geometric_params(op_id, m, size: int):
+    """Map (canonical op id, signed magnitude) -> 3-pass warp params.
+
+    PIL reference semantics (data/pipelines.py):
+    * Rotate: ``im.rotate(m*30, BICUBIC)`` — counterclockwise about the
+      center. Output->input map rotates by the SAME angle in pixel
+      coords (y down): src = R(theta) @ (dst - c) + c.
+      Paeth: shear_x(tan(theta/2)) o shear_y(-sin(theta)) o
+      shear_x(tan(theta/2)) with centered coords.
+    * Shear: transform AFFINE (1, m*0.3, 0 | 0, 1, 0): src_x = x+0.3m*y.
+    * Translate: src_x = x + m*0.45*size.
+    Non-geometric ids -> identity (zeros)."""
+    z = jnp.zeros_like(m)
+    c = (size - 1) / 2.0
+
+    # PIL rotate(angle) is counterclockwise on screen; the spot-test in
+    # tests/test_device_augment.py pins the sign convention
+    theta = -m * (30.0 * np.pi / 180.0)
+    tan_h = jnp.tan(theta / 2.0)
+    sin_t = jnp.sin(theta)
+    # centered passes: shift_x = tan_h*(y-c); shift_y = -sin_t*(x-c)
+    rot = (tan_h, z, -sin_t, z, tan_h, z)
+
+    sx = (m * 0.3, z, z, z, z, z)          # y uncentered: t covers c shift
+    sy = (z, z, m * 0.3, z, z, z)
+    tx = (z, m * 0.45 * size, z, z, z, z)
+    ty = (z, z, z, m * 0.45 * size, z, z)
+
+    def pick(idx):
+        return (jnp.where(op_id == 3, rot[idx],
+                jnp.where(op_id == 11, sx[idx],
+                jnp.where(op_id == 12, sy[idx],
+                jnp.where(op_id == 13, tx[idx],
+                jnp.where(op_id == 14, ty[idx], z))))))
+
+    k1, t1, k2, t2, k3, t3 = (pick(i) for i in range(6))
+    # PIL's transform evaluates the affine at PIXEL CENTERS: src_x =
+    # a*(x+0.5) + b*(y+0.5) + c - 0.5, so the shear shift is m*(y+0.5)
+    # in raw top-left coords = k*(y-c) + k*(c+0.5) in our centered form
+    t1 = t1 + jnp.where(op_id == 11, k1 * (c + 0.5), 0.0)
+    t2 = t2 + jnp.where(op_id == 12, k2 * (c + 0.5), 0.0)
+    return k1, t1, k2, t2, k3, t3, c
+
+
+# ---------------------------------------------------------------------------
+# pointwise PIL ops
+# ---------------------------------------------------------------------------
+
+def _u8(img):
+    return jnp.clip(jnp.round(img), 0.0, 255.0)
+
+
+def _histogram256(img_u8):
+    """Per-image per-channel 256-bin histogram via a fused one-hot
+    reduce (no scatter, no per-pixel gather — XLA fuses the one-hot
+    generator into the sum). Returns (B, C, 256)."""
+    B, H, W, C = img_u8.shape
+    flat = img_u8.reshape(B, H * W, C).astype(jnp.int32)
+    one = jax.nn.one_hot(flat, 256, dtype=jnp.float32)        # (B,HW,C,256)
+    return one.sum(axis=1)                                    # (B, C, 256)
+
+
+def op_autocontrast(img, _m):
+    """PIL ImageOps.autocontrast(cutoff=0): per channel stretch min..max
+    to 0..255 with PIL's TRUNCATING lut (int(ix*scale + offset));
+    identity when flat."""
+    x = _u8(img)
+    lo = x.min(axis=(1, 2), keepdims=True)
+    hi = x.max(axis=(1, 2), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-8)
+    out = jnp.where(hi > lo, jnp.floor((x - lo) * scale + 1e-5), x)
+    return jnp.clip(out, 0.0, 255.0)
+
+
+def op_equalize(img, _m):
+    """PIL ImageOps.equalize: per channel, step = (npix - h[last]) // 255
+    where 'last' is the highest occupied bin; lut[i] = (cumsum(h)[i-1] +
+    step//2) // step (identity if step == 0)."""
+    x = _u8(img)
+    B, H, W, C = x.shape
+    h = _histogram256(x)                                       # (B, C, 256)
+    idx = jnp.arange(256, dtype=jnp.float32)
+    occupied = h > 0
+    last_bin = jnp.max(jnp.where(occupied, idx, -1.0), axis=-1)   # (B, C)
+    h_last = jnp.take_along_axis(
+        h, jnp.maximum(last_bin, 0).astype(jnp.int32)[..., None],
+        axis=-1)[..., 0]
+    npix = jnp.float32(H * W)
+    step = jnp.floor((npix - h_last) / 255.0)                  # (B, C)
+    csum = jnp.cumsum(h, axis=-1)
+    cum_before = csum - h                                      # exclusive
+    lut = jnp.floor((cum_before + jnp.floor(step / 2.0)[..., None]) /
+                    jnp.maximum(step, 1.0)[..., None])
+    lut = jnp.clip(lut, 0.0, 255.0)                            # (B, C, 256)
+    # LUT apply with NO per-pixel gather (7 ns/lookup would cost ~17 ms
+    # per batch): one-hot dot — XLA fuses the one-hot generator into the
+    # MXU dot operand, so nothing big materializes.
+    xi = x.astype(jnp.int32)                                   # (B,H,W,C)
+    one = jax.nn.one_hot(xi, 256, dtype=jnp.float32)
+    out = jnp.einsum("bhwcv,bcv->bhwc", one, lut)
+    out = jnp.where(step[:, None, None, :] > 0, out, x)
+    return _u8(out)
+
+
+def op_invert(img, _m):
+    return 255.0 - img
+
+
+def op_posterize(img, m):
+    """bits = max(1, round(8 - m*4)); keep top ``bits`` bits."""
+    bits = jnp.maximum(1.0, jnp.round(8.0 - jnp.abs(m) * 4.0))
+    q = (2.0 ** (8.0 - bits))[:, None, None, None]
+    return jnp.floor(_u8(img) / q) * q
+
+
+def op_solarize(img, m):
+    thr = jnp.floor(256.0 - jnp.abs(m) * 256.0)[:, None, None, None]
+    x = _u8(img)
+    return jnp.where(x >= thr, 255.0 - x, x)
+
+
+def op_solarize_add(img, m):
+    add = jnp.floor(jnp.abs(m) * 110.0)[:, None, None, None]
+    x = img
+    return jnp.where(x < 128.0, jnp.clip(x + add, 0.0, 255.0), x)
+
+
+def _pil_gray(img_u8):
+    """PIL 'L' conversion: (R*299 + G*587 + B*114) / 1000, truncated."""
+    r, g, b = img_u8[..., 0], img_u8[..., 1], img_u8[..., 2]
+    return jnp.floor((r * 299.0 + g * 587.0 + b * 114.0) / 1000.0)
+
+
+def op_color(img, m):
+    """ImageEnhance.Color(1+m): blend(gray3, img, 1+m)."""
+    x = _u8(img)
+    gray = _pil_gray(x)[..., None]
+    f = (1.0 + m)[:, None, None, None]
+    return _u8(gray + (x - gray) * f)
+
+
+def op_contrast(img, m):
+    """ImageEnhance.Contrast(1+m): blend(mean_gray, img, 1+m) where mean
+    is int(L.mean() + 0.5) over the grayscale image."""
+    x = _u8(img)
+    mean = jnp.floor(_pil_gray(x).mean(axis=(1, 2)) + 0.5)     # (B,)
+    f = 1.0 + m
+    mean = mean[:, None, None, None]
+    return _u8(mean + (x - mean) * f[:, None, None, None])
+
+
+def op_brightness(img, m):
+    x = _u8(img)
+    f = 1.0 + m
+    return _u8(x * f[:, None, None, None])
+
+
+def op_sharpness(img, m):
+    """ImageEnhance.Sharpness(1+m): blend(SMOOTH-filtered, img, 1+m);
+    the 1-px border stays unfiltered (PIL filter semantics)."""
+    x = _u8(img)
+    B, H, W, C = x.shape
+    k = jnp.asarray([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]],
+                    jnp.float32) / 13.0
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    sm = jnp.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            sm = sm + k[dy, dx] * xpad[:, dy:dy + H, dx:dx + W, :]
+    sm = _u8(sm)
+    border = jnp.zeros((H, W), bool).at[0, :].set(True).at[-1, :] \
+        .set(True).at[:, 0].set(True).at[:, -1].set(True)
+    sm = jnp.where(border[None, :, :, None], x, sm)
+    f = 1.0 + m
+    return _u8(sm + (x - sm) * f[:, None, None, None])
+
+
+_POINTWISE = {
+    0: op_autocontrast, 1: op_equalize, 2: op_invert, 4: op_posterize,
+    5: op_solarize, 6: op_solarize_add, 7: op_color, 8: op_contrast,
+    9: op_brightness, 10: op_sharpness,
+}
+
+
+# ---------------------------------------------------------------------------
+# full RandAugment slot: one warp + all pointwise candidates, select
+# ---------------------------------------------------------------------------
+
+def apply_rand_augment_slot(img, op_id, m, fill):
+    """Apply one RandAugment policy slot to the whole batch.
+
+    img: (B, H, W, 3) float 0..255 (uint8-valued); op_id: (B,) int32 into
+    the canonical table; m: (B,) signed magnitude in [-1, 1]."""
+    size = img.shape[1]
+    k1, t1, k2, t2, k3, t3, c = geometric_params(op_id, m, size)
+    warped = three_pass_warp(img, k1, t1, k2, t2, k3, t3, fill,
+                             cy=c, cx=c)
+    out = warped     # geometric ids already correct; pointwise overwrite
+    for oid, fn in _POINTWISE.items():
+        sel = (op_id == oid)[:, None, None, None]
+        out = jnp.where(sel, fn(img, m), out)
+    return out
+
+
+def random_erase(img, on, y, x, eh, ew, fill, fill_std, noise_key):
+    """mmcls RandomErasing(mode='rand'): fill the box with
+    fill + std*N(0,1) (std==0 -> constant fill)."""
+    B, H, W, C = img.shape
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+    in_box = ((ys >= y[:, None, None]) & (ys < (y + eh)[:, None, None]) &
+              (xs >= x[:, None, None]) & (xs < (x + ew)[:, None, None]))
+    mask = (in_box & on[:, None, None])[..., None]
+    fill = jnp.asarray(fill, jnp.float32)
+    std = jnp.asarray(fill_std, jnp.float32)
+    if float(np.max(np.asarray(fill_std))) > 0.0:
+        patch = fill + std * jax.random.normal(noise_key, img.shape)
+    else:
+        patch = jnp.broadcast_to(fill, img.shape)
+    return jnp.where(mask, jnp.clip(patch, 0.0, 255.0), img)
+
+
+def cls_device_augment(img, aug, cfg: DeviceAugmentConfig,
+                       noise_key=None):
+    """The full cls train augment stage on device.
+
+    img: (B, S, S, 3) uint8/float RGB 0..255 (decoded, un-normalized).
+    aug: per-sample parameter records from DeviceAugmentPlanner:
+      crop_y/x/h/w (B,) i32; flip (B,) bool; op_id (B, P) i32;
+      op_m (B, P) f32; erase_on (B,) bool; erase_y/x/h/w (B,) i32.
+    Returns (B, out, out, 3) float32 in 0..255 (Normalize is applied by
+    the caller, mirroring the host pipeline order)."""
+    x = img.astype(jnp.float32)
+    x = random_resized_crop(x, aug["crop_y"], aug["crop_x"],
+                            aug["crop_h"], aug["crop_w"], cfg.out_size)
+    x = jnp.where(aug["flip"][:, None, None, None], x[:, :, ::-1, :], x)
+    for p in range(cfg.num_policies):
+        x = apply_rand_augment_slot(x, aug["op_id"][:, p],
+                                    aug["op_m"][:, p], cfg.fill)
+    if noise_key is None:
+        noise_key = jax.random.key(0)
+    x = random_erase(x, aug["erase_on"], aug["erase_y"], aug["erase_x"],
+                     aug["erase_h"], aug["erase_w"], cfg.erase_fill,
+                     cfg.erase_fill_std, noise_key)
+    return x

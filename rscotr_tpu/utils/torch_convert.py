@@ -423,6 +423,317 @@ def convert_mtl_checkpoint(state: Dict[str, np.ndarray],
     return out
 
 
+# ---------------------------------------------------------------------------
+# JAX -> torch/mm reverse conversion (VERDICT r2 next #6)
+#
+# Emits reference-layout state dicts (multitask_learner.py:308-353 key
+# naming) from our flax trees so rebuilt/trained checkpoints are
+# consumable by the reference stack, and the BASELINE.md accuracy-parity
+# protocol is executable the day egress exists. Exact inverses of the
+# convert_* functions above — tests/test_convert_full.py round-trips
+# torch -> JAX -> torch bit-equal.
+# ---------------------------------------------------------------------------
+
+def _flat(tree: dict, path=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flat(v, path + (k,))
+        else:
+            yield path + (k,), np.asarray(v)
+
+
+def _r_ln(out, key, sub):
+    out[f"{key}.weight"] = np.asarray(sub["scale"])
+    out[f"{key}.bias"] = np.asarray(sub["bias"])
+
+
+def _r_dense(out, key, sub):
+    out[f"{key}.weight"] = t_lin(np.asarray(sub["kernel"]))
+    if "bias" in sub:
+        out[f"{key}.bias"] = np.asarray(sub["bias"])
+
+
+def _r_conv(out, key, sub):
+    out[f"{key}.weight"] = np.ascontiguousarray(
+        np.asarray(sub["kernel"]).transpose(3, 2, 0, 1))
+    if "bias" in sub:
+        out[f"{key}.bias"] = np.asarray(sub["bias"])
+
+
+def _r_mha(out, key, sub):
+    out[f"{key}.in_proj_weight"] = np.concatenate(
+        [t_lin(np.asarray(sub[nm]["kernel"]))
+         for nm in ("q_proj", "k_proj", "v_proj")], axis=0)
+    if "bias" in sub["q_proj"]:
+        out[f"{key}.in_proj_bias"] = np.concatenate(
+            [np.asarray(sub[nm]["bias"])
+             for nm in ("q_proj", "k_proj", "v_proj")])
+    _r_dense(out, f"{key}.out_proj", sub["out_proj"])
+
+
+def _r_msda(out, key, sub):
+    for nm in ("sampling_offsets", "attention_weights", "value_proj",
+               "output_proj"):
+        _r_dense(out, f"{key}.{nm}", sub[nm])
+
+
+def _r_ffn(out, key, sub):
+    _r_dense(out, f"{key}.layers.0.0", sub["fc0"])
+    _r_dense(out, f"{key}.layers.1", sub["fc1"])
+
+
+def reverse_swin_original(tree: dict, depths=(2, 2, 6, 2),
+                          out_norm_names: Optional[dict] = None) -> dict:
+    """Our SwinTransformer tree -> original-repo key layout.
+    ``out_norm_names``: stage -> key base (default norm{s}; the ImageNet
+    single-norm layout passes {last: 'norm'})."""
+    out: Dict[str, np.ndarray] = {}
+    out["patch_embed.proj.weight"] = np.ascontiguousarray(
+        np.asarray(tree["patch_embed"]["kernel"]).transpose(3, 2, 0, 1))
+    out["patch_embed.proj.bias"] = np.asarray(tree["patch_embed"]["bias"])
+    if "patch_norm" in tree:
+        _r_ln(out, "patch_embed.norm", tree["patch_norm"])
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            blk = tree[f"stage{s}_block{b}"]
+            dst = f"layers.{s}.blocks.{b}"
+            _r_ln(out, f"{dst}.norm1", blk["norm1"])
+            _r_ln(out, f"{dst}.norm2", blk["norm2"])
+            _r_dense(out, f"{dst}.attn.qkv", blk["attn"]["qkv"])
+            out[f"{dst}.attn.relative_position_bias_table"] = \
+                np.asarray(blk["attn"]["relative_position_bias_table"])
+            _r_dense(out, f"{dst}.attn.proj", blk["attn"]["proj"])
+            _r_dense(out, f"{dst}.mlp.fc1", blk["mlp_fc1"])
+            _r_dense(out, f"{dst}.mlp.fc2", blk["mlp_fc2"])
+        if f"downsample{s}" in tree:
+            ds = tree[f"downsample{s}"]
+            _r_ln(out, f"layers.{s}.downsample.norm", ds["norm"])
+            _r_dense(out, f"layers.{s}.downsample.reduction",
+                     ds["reduction"])
+    for s in range(len(depths)):
+        if f"out_norm{s}" in tree:
+            name = (out_norm_names or {}).get(s, f"norm{s}")
+            _r_ln(out, name, tree[f"out_norm{s}"])
+    return out
+
+
+def reverse_swin_mm(tree: dict, depths=(2, 2, 6, 2)) -> dict:
+    """Our SwinTransformer tree -> mm-format keys ('stages.{s}.blocks.{b}
+    .attn.w_msa...', unfold-ordered PatchMerging)."""
+    orig = reverse_swin_original(tree, depths)
+    out: Dict[str, np.ndarray] = {}
+    for k, v in orig.items():
+        # 'layers.' -> 'stages.' FIRST: the later '.ffn.layers.0.0.'
+        # segments must not be renamed to 'ffn.stages.'
+        k2 = (k.replace("layers.", "stages.")
+               .replace(".mlp.fc1.", ".ffn.layers.0.0.")
+               .replace(".mlp.fc2.", ".ffn.layers.1.")
+               .replace(".attn.", ".attn.w_msa."))
+        out[k2] = v
+    for s in range(len(depths)):
+        rk = f"stages.{s}.downsample.reduction.weight"
+        if rk in out:
+            C = out[rk].shape[1] // 4
+            inv = np.argsort(_unfold_perm(C))
+            out[rk] = out[rk][:, inv]
+            for suffix in ("weight", "bias"):
+                key = f"stages.{s}.downsample.norm.{suffix}"
+                if key in out:
+                    out[key] = out[key][inv]
+    return out
+
+
+def reverse_channel_mapper(tree: dict, prefix: str = "neck.") -> dict:
+    out: Dict[str, np.ndarray] = {}
+    i = 0
+    while f"convs_{i}" in tree:
+        _r_conv(out, f"{prefix}convs.{i}.conv", tree[f"convs_{i}"])
+        if f"gn_{i}" in tree:
+            _r_ln(out, f"{prefix}convs.{i}.gn", tree[f"gn_{i}"])
+        i += 1
+    j = 0
+    while f"extra_convs_{j}" in tree:
+        _r_conv(out, f"{prefix}extra_convs.{j}.conv",
+                tree[f"extra_convs_{j}"])
+        if f"extra_gn_{j}" in tree:
+            _r_ln(out, f"{prefix}extra_convs.{j}.gn",
+                  tree[f"extra_gn_{j}"])
+        j += 1
+    return out
+
+
+def reverse_deformable_encoder(tree: dict,
+                               prefix: str = "shared_encoder.") -> dict:
+    out: Dict[str, np.ndarray] = {}
+    i = 0
+    while f"layers_{i}" in tree:
+        lyr = tree[f"layers_{i}"]
+        src = f"{prefix}layers.{i}"
+        _r_msda(out, f"{src}.attentions.0", lyr["self_attn"])
+        _r_ffn(out, f"{src}.ffns.0", lyr["ffn"])
+        _r_ln(out, f"{src}.norms.0", lyr["norm1"])
+        _r_ln(out, f"{src}.norms.1", lyr["norm2"])
+        i += 1
+    return out
+
+
+def reverse_cls_head(tree: dict, prefix: str = "cls_head.") -> dict:
+    out: Dict[str, np.ndarray] = {}
+    if "fc" in tree:
+        _r_dense(out, f"{prefix}fc", tree["fc"])
+    if "pixel_decoder" in tree and "level_encoding" in tree["pixel_decoder"]:
+        out[f"{prefix}pixel_decoder.level_encoding.weight"] = \
+            np.asarray(tree["pixel_decoder"]["level_encoding"])
+    if "out_proj_w" in tree:
+        out[f"{prefix}out_proj.weight"] = t_lin(
+            np.asarray(tree["out_proj_w"]))
+        out[f"{prefix}out_proj.bias"] = np.asarray(tree["out_proj_b"])
+    return out
+
+
+def reverse_dino_head(tree: dict, prefix: str = "bbox_head.") -> dict:
+    out: Dict[str, np.ndarray] = {}
+    out[f"{prefix}label_embedding.weight"] = \
+        np.asarray(tree["label_embedding"])
+    out[f"{prefix}transformer.level_embeds"] = \
+        np.asarray(tree["level_embeds"])
+    out[f"{prefix}transformer.query_embed.weight"] = \
+        np.asarray(tree["query_embed"])
+    _r_dense(out, f"{prefix}transformer.enc_output", tree["enc_output"])
+    _r_ln(out, f"{prefix}transformer.enc_output_norm",
+          tree["enc_output_norm"])
+    i = 0
+    while f"cls_branches_{i}" in tree:
+        _r_dense(out, f"{prefix}cls_branches.{i}",
+                 tree[f"cls_branches_{i}"])
+        for j, fc in enumerate((0, 2, 4)):
+            _r_dense(out, f"{prefix}reg_branches.{i}.{fc}",
+                     tree[f"reg_branches_{i}"][f"fc{j}"])
+        i += 1
+    j = 0
+    while f"layers_{j}" in tree.get("ref_point_head", {}):
+        _r_dense(out,
+                 f"{prefix}transformer.decoder.ref_point_head.layers.{j}",
+                 tree["ref_point_head"][f"layers_{j}"])
+        j += 1
+    _r_ln(out, f"{prefix}transformer.decoder.norm", tree["decoder_norm"])
+    i = 0
+    while f"decoder_layers_{i}" in tree:
+        lyr = tree[f"decoder_layers_{i}"]
+        src = f"{prefix}transformer.decoder.layers.{i}"
+        _r_mha(out, f"{src}.attentions.0.attn", lyr["self_attn"])
+        _r_msda(out, f"{src}.attentions.1", lyr["cross_attn"])
+        _r_ffn(out, f"{src}.ffns.0", lyr["ffn"])
+        for n in range(3):
+            _r_ln(out, f"{src}.norms.{n}", lyr[f"norm{n + 1}"])
+        i += 1
+    return out
+
+
+def reverse_mask2former_head(tree: dict,
+                             prefix: str = "seg_head.") -> dict:
+    out: Dict[str, np.ndarray] = {}
+    out[f"{prefix}query_embed.weight"] = np.asarray(tree["query_embed"])
+    out[f"{prefix}query_feat.weight"] = np.asarray(tree["query_feat"])
+    out[f"{prefix}level_embed.weight"] = np.asarray(tree["level_embed"])
+    for j, seq in enumerate((0, 2, 4)):
+        _r_dense(out, f"{prefix}mask_embed.{seq}",
+                 tree["mask_embed"][f"layers_{j}"])
+    if "cls_embed" in tree:
+        _r_dense(out, f"{prefix}cls_embed", tree["cls_embed"])
+    _r_ln(out, f"{prefix}transformer_decoder.post_norm",
+          tree["post_norm"])
+    i = 0
+    while f"decoder_layers_{i}" in tree:
+        lyr = tree[f"decoder_layers_{i}"]
+        src = f"{prefix}transformer_decoder.layers.{i}"
+        _r_mha(out, f"{src}.attentions.0.attn", lyr["cross_attn"])
+        _r_mha(out, f"{src}.attentions.1.attn", lyr["self_attn"])
+        _r_ffn(out, f"{src}.ffns.0", lyr["ffn"])
+        for n in range(3):
+            _r_ln(out, f"{src}.norms.{n}", lyr[f"norm{n + 1}"])
+        i += 1
+    pd_tree = tree["pixel_decoder"]
+    pd = f"{prefix}pixel_decoder."
+    out[f"{pd}level_encoding.weight"] = \
+        np.asarray(pd_tree["level_encoding"])
+    _r_conv(out, f"{pd}mask_feature", pd_tree["mask_feature"])
+    lat_lvls = sorted(int(k.split("_")[-1]) for k in pd_tree
+                      if k.startswith("lateral_conv_"))
+    num_fpn = len(lat_lvls)
+    for lvl in lat_lvls:
+        k = num_fpn - 1 - lvl
+        _r_conv(out, f"{pd}lateral_convs.{k}.conv",
+                pd_tree[f"lateral_conv_{lvl}"])
+        _r_ln(out, f"{pd}lateral_convs.{k}.gn",
+              pd_tree[f"lateral_gn_{lvl}"]["GroupNorm_0"])
+        _r_conv(out, f"{pd}output_convs.{k}.conv",
+                pd_tree[f"output_conv_{lvl}"])
+        _r_ln(out, f"{pd}output_convs.{k}.gn",
+              pd_tree[f"output_gn_{lvl}"]["GroupNorm_0"])
+    i = 0
+    while f"input_conv_{i}" in pd_tree:
+        _r_conv(out, f"{pd}input_convs.{i}.conv",
+                pd_tree[f"input_conv_{i}"])
+        _r_ln(out, f"{pd}input_convs.{i}.gn",
+              pd_tree[f"input_gn_{i}"]["GroupNorm_0"])
+        i += 1
+    return out
+
+
+def reverse_resnet(params: dict, batch_stats: dict,
+                   prefix: str = "backbone.") -> dict:
+    out: Dict[str, np.ndarray] = {}
+
+    def bn(path_tree, stats_tree, key):
+        _r_ln(out, key, path_tree["bn"])
+        out[f"{key}.running_mean"] = np.asarray(stats_tree["bn"]["mean"])
+        out[f"{key}.running_var"] = np.asarray(stats_tree["bn"]["var"])
+
+    _r_conv(out, f"{prefix}conv1", params["conv1"])
+    bn(params["bn1"], batch_stats["bn1"], f"{prefix}bn1")
+    s = 1
+    while f"layer{s}_block0" in params:
+        b = 0
+        while f"layer{s}_block{b}" in params:
+            bp = params[f"layer{s}_block{b}"]
+            bs = batch_stats[f"layer{s}_block{b}"]
+            for i in (1, 2, 3):
+                _r_conv(out, f"{prefix}layer{s}.{b}.conv{i}",
+                        bp[f"conv{i}"])
+                bn(bp[f"bn{i}"], bs[f"bn{i}"],
+                   f"{prefix}layer{s}.{b}.bn{i}")
+            if "downsample_conv" in bp:
+                _r_conv(out, f"{prefix}layer{s}.{b}.downsample.0",
+                        bp["downsample_conv"])
+                bn(bp["downsample_bn"], bs["downsample_bn"],
+                   f"{prefix}layer{s}.{b}.downsample.1")
+            b += 1
+        s += 1
+    return out
+
+
+def reverse_mtl_checkpoint(tree: dict, depths=(2, 2, 6, 2)) -> dict:
+    """Our MTL param tree (params['params']) -> full mm-format flat state
+    dict (reference multitask_learner key layout, Swin in mm format)."""
+    out: Dict[str, np.ndarray] = {}
+    if "backbone" in tree:
+        for k, v in reverse_swin_mm(tree["backbone"],
+                                    depths=depths).items():
+            out[f"backbone.{k}"] = v
+    if "neck" in tree:
+        out.update(reverse_channel_mapper(tree["neck"]))
+    if "shared_encoder" in tree:
+        out.update(reverse_deformable_encoder(tree["shared_encoder"]))
+    if "cls_head" in tree:
+        out.update(reverse_cls_head(tree["cls_head"]))
+    if "bbox_head" in tree:
+        out.update(reverse_dino_head(tree["bbox_head"]))
+    if "seg_head" in tree:
+        out.update(reverse_mask2former_head(tree["seg_head"]))
+    return out
+
+
 def merge_into_params(params: dict, sub: dict, top: str) -> dict:
     """Place a converted subtree under params['params'][top], keeping any
     keys the checkpoint did not provide (non-strict load)."""

@@ -1,0 +1,280 @@
+"""On-device cls augmentation parity vs the host/PIL pipeline.
+
+VERDICT r2 #3: the cls augment tail (RandomResizedCrop, RandomFlip,
+RandAugment, RandomErasing) moves on device; these tests drive the device
+ops and the host pipeline with IDENTICAL parameters (the planner shares
+the hosts' draw_* methods, so the distributions are equal by
+construction) and bound the pixel differences:
+
+* pointwise ops: PIL integer semantics reproduced to <= 2 gray levels
+* geometric ops (3-pass shear warp vs PIL single-pass bicubic): mean
+  diff < 1 level, < 1.5% of pixels off by > 5 (fill-seam pixels)
+* the full composed stage end-to-end on planner-drawn parameters
+* loader integration: cls_device_augment batches carry aug_* records and
+  run through the jitted cls train step
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rscotr_tpu.data import pipelines as P  # noqa: E402
+from rscotr_tpu.ops import device_augment as D  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not P.HAS_PIL, reason="needs PIL")
+
+S, O = 96, 64          # scaled-down src/out keep CPU runtime sane
+
+
+def _smooth_images(b=3, size=S, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, (b, size, size, 3)).astype(np.float32)
+    # box-blur twice so interpolation differences are signal, not noise
+    for _ in range(2):
+        img = (img + np.roll(img, 1, 1) + np.roll(img, -1, 1) +
+               np.roll(img, 1, 2) + np.roll(img, -1, 2)) / 5.0
+    return np.round(np.clip(img, 0, 255))
+
+
+HOST_OPS = {n: (f, s) for n, f, s in P.RAND_AUG_OPS}
+CANON = {n: i for i, n in enumerate(D.RAND_AUG_OP_NAMES)}
+FILL = (124.0, 116.0, 104.0)
+
+
+def _device_op(base, name, m):
+    B = base.shape[0]
+    out = D.apply_rand_augment_slot(
+        jnp.asarray(base), jnp.full((B,), CANON[name], jnp.int32),
+        jnp.full((B,), m, jnp.float32), FILL)
+    return np.asarray(out)
+
+
+def _host_op(base, name, m):
+    fn = HOST_OPS[name][0]
+    return np.stack([fn(base[b].copy(), m) for b in range(len(base))])
+
+
+class TestPointwiseOps:
+    @pytest.mark.parametrize("name,mags", [
+        ("AutoContrast", (0.9,)), ("Equalize", (0.9,)),
+        ("Invert", (0.9,)), ("Posterize", (0.2, 0.9)),
+        ("Solarize", (0.2, 0.9)), ("SolarizeAdd", (0.5, 0.9)),
+        ("ColorTransform", (0.9, -0.9)), ("Contrast", (0.9, -0.9)),
+        ("Brightness", (0.9, -0.9)), ("Sharpness", (0.9, -0.9)),
+    ])
+    def test_matches_host(self, name, mags):
+        base = _smooth_images()
+        for m in mags:
+            got = _device_op(base, name, m)
+            want = _host_op(base, name, m)
+            assert np.abs(got - want).max() <= 2.0, (name, m)
+
+
+class TestGeometricOps:
+    @pytest.mark.parametrize("name,mags,mean_tol,frac5_tol", [
+        # single-pass warps: sub-level agreement with PIL
+        ("Shear", (0.5, -0.8), 1.0, 0.015),
+        ("ShearY", (0.5, -0.8), 1.0, 0.015),
+        ("Translate", (0.4, -0.8), 1.0, 0.015),
+        ("TranslateY", (0.4, -0.8), 1.0, 0.015),
+        # rotation: 3-shear decomposition resamples three times, so on
+        # high-frequency content it low-passes slightly more than PIL's
+        # single-pass bicubic (a documented backend-level deviation, like
+        # mmcls' own PIL-vs-cv2 backends); alignment itself is sub-pixel
+        # exact (test_rotation_alignment_smooth)
+        ("Rotate", (0.5, -0.9), 3.5, 0.16),
+    ])
+    def test_matches_pil_warp(self, name, mags, mean_tol, frac5_tol):
+        base = _smooth_images()
+        for m in mags:
+            got = _device_op(base, name, m)
+            want = _host_op(base, name, m)
+            d = np.abs(got - want)
+            assert d.mean() < mean_tol, (name, m, d.mean())
+            assert (d > 5).mean() < frac5_tol, (name, m, (d > 5).mean())
+
+    def test_rotation_alignment_smooth(self):
+        """On smooth content (filter differences vanish) rotation must
+        agree with PIL to a fraction of a gray level — proves the 3-shear
+        geometry (center, direction, half-pixel convention) is exact."""
+        from scipy.ndimage import gaussian_filter
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 255, (2, S, S, 3)).astype(np.float32)
+        base = np.round(np.stack(
+            [gaussian_filter(im, (5, 5, 0)) for im in base]))
+        for m in (0.5, -0.9):
+            got = _device_op(base, "Rotate", m)
+            want = _host_op(base, "Rotate", m)
+            # central crop keeps clear of the rotated fill wedges
+            d = np.abs(got - want)[:, 24:-24, 24:-24]
+            assert d.max() <= 3, (m, d.max())
+            assert d.mean() < 1.0, (m, d.mean())
+
+    def test_rotation_direction(self):
+        """Spot test pins the PIL counterclockwise convention."""
+        from PIL import Image
+        img = np.zeros((O, O, 3), np.float32)
+        img[8:16, 44:52] = 255.0
+        m = 0.5
+        want = np.asarray(Image.fromarray(img.astype(np.uint8)).rotate(
+            m * 30, Image.BICUBIC), np.float32)
+        got = _device_op(img[None], "Rotate", m)[0]
+        inter = np.minimum(want[..., 0], got[..., 0]).sum()
+        assert inter / max(want[..., 0].sum(), 1) > 0.9
+
+
+class TestRandomResizedCrop:
+    def test_matches_pil_crop_resize(self):
+        from PIL import Image
+        base = _smooth_images()
+        B = len(base)
+        rng = np.random.default_rng(1)
+        cy, cx = rng.integers(0, 20, B), rng.integers(0, 20, B)
+        ch, cw = rng.integers(30, 77, B), rng.integers(30, 77, B)
+        got = np.asarray(D.random_resized_crop(
+            jnp.asarray(base), jnp.asarray(cy), jnp.asarray(cx),
+            jnp.asarray(ch), jnp.asarray(cw), O))
+        want = np.stack([
+            np.asarray(Image.fromarray(base[b].astype(np.uint8)).crop(
+                (cx[b], cy[b], cx[b] + cw[b], cy[b] + ch[b])).resize(
+                (O, O), Image.BICUBIC), np.float32) for b in range(B)])
+        assert np.abs(got - want).max() <= 2.0
+
+
+class TestComposedStage:
+    def test_planner_plus_device_equals_host_pipeline(self):
+        """Same per-sample rng -> the planner draws the SAME parameters
+        the host ops would (shared draw_* methods), and the device stage
+        reproduces the host pixels within interpolation tolerance.
+
+        src == out here so RandomResizedCrop is resize-free: histogram
+        ops (Equalize/AutoContrast) are CHAOTIC amplifiers — a benign
+        +-1-level resize-rounding difference on a peaked histogram moves
+        LUT steps by tens of levels, so pixelwise comparison through
+        them is only well-posed on exactly-equal inputs. RRC resize
+        parity itself is covered exactly in TestRandomResizedCrop."""
+        rrc_kw = dict(size=O, interpolation="bicubic",
+                      scale=(1.0, 1.0), ratio=(1.0, 1.0))
+        # Equalize/AutoContrast are excluded from the pool here for the
+        # same chaotic-amplification reason (a warp's fill-seam pixels
+        # shift their histograms); both are op-level tested EXACTLY in
+        # TestPointwiseOps. All 13 remaining ops stay in play.
+        policies = [dict(type=n) for n in D.RAND_AUG_OP_NAMES
+                    if n not in ("Equalize", "AutoContrast",
+                                 "ShearY", "TranslateY")]
+        policies += [dict(type="Shear", direction="vertical"),
+                     dict(type="Translate", direction="vertical")]
+        ra_kw = dict(policies=policies, num_policies=2,
+                     magnitude_level=9, magnitude_std=0.5)
+        planner = P.DeviceAugmentPlanner(
+            rrc=rrc_kw,
+            flip=dict(flip_prob=0.5, direction="horizontal"),
+            rand_aug=ra_kw,
+            erase=dict(erase_prob=0.5, mode="rand",
+                       fill_color=[104, 116, 124], fill_std=[0, 0, 0]),
+            src_size=O)
+        host_tail = [P.RandomResizedCrop(**rrc_kw),
+                     P.RandomFlip(flip_prob=0.5, direction="horizontal"),
+                     P.RandAugment(**ra_kw),
+                     P.RandomErasing(erase_prob=0.5, mode="rand",
+                                     fill_color=[104, 116, 124],
+                                     fill_std=[0, 0, 0])]
+        imgs = _smooth_images(b=6, size=O, seed=3)
+        cfg = D.DeviceAugmentConfig(
+            src_size=O, out_size=O, erase_fill=(104., 116., 124.),
+            erase_fill_std=(0., 0., 0.), num_policies=2)
+        samples, wants = [], []
+        for i in range(len(imgs)):
+            s = planner({"img": imgs[i].copy(),
+                         "gt_label": np.int32(0)},
+                        np.random.Generator(np.random.PCG64(50 + i)))
+            samples.append(s)
+            h = {"img": imgs[i].copy()}
+            rng_h = np.random.Generator(np.random.PCG64(50 + i))
+            for t in host_tail:
+                h = t(h, rng_h)
+            wants.append(h["img"])
+        from rscotr_tpu.data.loader import collate_cls_aug
+        batch = collate_cls_aug(samples)
+        aug = {k[len("aug_"):]: jnp.asarray(v) for k, v in batch.items()
+               if k.startswith("aug_")}
+        got = np.asarray(D.cls_device_augment(
+            jnp.asarray(batch["img"]), aug, cfg,
+            noise_key=jax.random.key(0)))
+        want = np.stack(wants)
+        d = np.abs(got - want)
+        # rotation draws (~13% of slots) carry the 3-pass deviation
+        assert d.mean() < 2.5, d.mean()
+        assert (d > 5).mean() < 0.06, (d > 5).mean()
+
+
+class TestLoaderIntegration:
+    def _loaders(self):
+        from rscotr_tpu.data import build_dataloaders
+        from rscotr_tpu.data.datasets import SyntheticClsDataset
+        ds = SyntheticClsDataset(length=8, img_size=S, num_classes=7)
+        ds.pipeline_cfg = [
+            dict(type="RandomResizedCrop", size=O,
+                 interpolation="bicubic"),
+            dict(type="RandomFlip", flip_prob=0.5),
+            dict(type="RandAugment", num_policies=2, magnitude_level=9,
+                 magnitude_std=0.5),
+            dict(type="RandomErasing", erase_prob=0.25, mode="rand",
+                 fill_color=[104, 116, 124], fill_std=[0, 0, 0]),
+            dict(type="Normalize"),
+        ]
+        ds.task = "cls"
+        data_cfg = {"r": {"task": "cls",
+                          "data": {"samples_per_gpu": 4},
+                          "loader": {"cls_device_augment": True,
+                                     "cls_src_size": S}}}
+        return build_dataloaders({"r": ds}, data_cfg, train=True,
+                                 num_replicas=1, rank=0,
+                                 num_threads=1)["r"]
+
+    def test_batch_carries_params_and_step_runs(self):
+        dl = self._loaders()
+        batch = next(iter(dl))
+        assert batch["img"].dtype == np.uint8
+        assert batch["img"].shape == (4, S, S, 3)
+        assert batch["aug_op_id"].shape == (4, 2)
+        assert batch["aug_crop_h"].min() > 0
+
+        import flax.linen as nn
+
+        class Mini(nn.Module):
+            @nn.compact
+            def forward_cls(self, img, deterministic=True):
+                return nn.Dense(7)(img.mean(axis=(1, 2)))
+
+            def __call__(self, img, deterministic=True):
+                return self.forward_cls(img, deterministic)
+
+        from rscotr_tpu.engine.optimizer import build_optimizer
+        from rscotr_tpu.engine.train_step import (TrainStepConfig,
+                                                  make_train_step)
+        model = Mini()
+        params = model.init(jax.random.key(0), jnp.zeros((1, O, O, 3)))
+        cfg = TrainStepConfig(
+            task_weight={"cls": 1.0}, cls_num_classes=7,
+            cls_use_augments=False,
+            img_norm=((123.675, 116.28, 103.53),
+                      (58.395, 57.12, 57.375)),
+            device_aug=D.DeviceAugmentConfig(
+                src_size=S, out_size=O,
+                erase_fill=(104., 116., 124.)))
+        opt = build_optimizer(dict(type="AdamW", lr=1e-3),
+                              params["params"],
+                              lr_config=dict(policy="fixed"))
+        step = make_train_step(model, opt, "cls", cfg, donate=False)
+        p2, o2, lv = step(params, opt.init(params["params"]),
+                          {k: jnp.asarray(v) for k, v in batch.items()},
+                          jax.random.key(1))
+        assert np.isfinite(float(lv["loss"]))

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Convert a PyTorch (mm-format) checkpoint to a framework checkpoint.
+"""Convert checkpoints between mm/torch format and this framework.
+
+Forward (torch -> JAX, the default):
 
     python tools/convert_checkpoint.py CONFIG TORCH_CKPT OUT_DIR
-        [--depths 2 2 6 2] [--map-keys k=v ...]
+        [--depths 2 2 6 2]
 
 Loads the torch state dict (handles ``state_dict``/``model`` wrappers and
 ``module.`` DDP prefixes), converts every recognized component with
@@ -12,7 +14,16 @@ shared deformable encoder, cls/det/seg heads — reference key layout per
 non-strictly into the config-built model's init params, and writes an
 orbax checkpoint dir loadable by tools/train.py ``--load-from`` /
 tools/test.py. This is the entry point of the BASELINE.md parity protocol
-(published HF weights -> TPU eval)."""
+(published HF weights -> TPU eval).
+
+Reverse (JAX -> torch, ``--to-torch``):
+
+    python tools/convert_checkpoint.py CONFIG OUR_CKPT_DIR OUT.pth
+        --to-torch [--depths 2 2 6 2]
+
+Emits an mm-format ``.pth`` (``{'state_dict': ...}``) from one of our
+orbax checkpoints so the reference stack can consume TPU-trained weights
+(round-trip bit-equality tested in tests/test_reverse_convert.py)."""
 
 import argparse
 import os
@@ -54,7 +65,13 @@ def main(argv=None):
     ap.add_argument("out_dir")
     ap.add_argument("--depths", type=int, nargs="+", default=[2, 2, 6, 2],
                     help="Swin stage depths (for relative-bias reshapes)")
+    ap.add_argument("--to-torch", action="store_true",
+                    help="reverse direction: our orbax checkpoint dir -> "
+                         "mm-format .pth consumable by the reference")
     args = ap.parse_args(argv)
+
+    if args.to_torch:
+        return _to_torch(args)
 
     import numpy as np
 
@@ -128,6 +145,44 @@ def main(argv=None):
                            name="converted")
     logger.info("merged %d tensors -> %s", n_merged, path)
     print(path)
+
+
+def _to_torch(args):
+    import numpy as np
+    import torch
+
+    from rscotr_tpu.engine.checkpoint import load_checkpoint
+    from rscotr_tpu.config import Config
+    from rscotr_tpu.utils import get_root_logger, torch_convert as tc
+
+    logger = get_root_logger()
+    cfg = Config.fromfile(args.config)
+    ck = load_checkpoint(args.torch_ckpt)   # positional: our ckpt dir
+    tree = ck["params"]["params"] if "params" in ck["params"] else \
+        ck["params"]
+    if isinstance(tree, dict) and "params" in tree:
+        tree = tree["params"]
+    # standalone models name the shared encoder 'encoder'
+    if "encoder" in tree and "shared_encoder" not in tree:
+        tree = dict(tree)
+        tree["shared_encoder"] = tree.pop("encoder")
+    state = {}
+    if "backbone" in tree and "conv1" in tree["backbone"]:   # ResNet
+        bs = (ck["params"].get("batch_stats") or {}).get("backbone", {})
+        state.update(tc.reverse_resnet(tree["backbone"], bs))
+        rest = {k: v for k, v in tree.items() if k != "backbone"}
+        state.update(tc.reverse_mtl_checkpoint(
+            rest, depths=tuple(args.depths)))
+    else:
+        state.update(tc.reverse_mtl_checkpoint(
+            tree, depths=tuple(args.depths)))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in state.items()}
+    meta = dict(ck.get("meta") or {})
+    torch.save({"state_dict": sd, "meta": meta}, args.out_dir)
+    logger.info("wrote %d tensors -> %s (mm format, config %s)",
+                len(sd), args.out_dir, cfg.filename)
+    print(args.out_dir)
 
 
 def jax_leaves(tree):
