@@ -64,8 +64,8 @@ def _wg_kernel(idx_ref, w_ref, t_ref, o_ref, *, k_block, acc_dtype):
         o_ref[...] = jnp.zeros_like(o_ref)
 
     idx = idx_ref[...]                       # (k_block,)
-    w = w_ref[...]                           # (k_block,)
-    nv_block = t_ref.shape[1]
+    w = w_ref[...]                           # (k_block,) f32 — mosaic can't
+    nv_block = t_ref.shape[1]                # minor-dim-reshape 16-bit vecs
     lo = n * nv_block
     hit = jnp.any((idx >= lo) & (idx < lo + nv_block))
 
@@ -74,7 +74,7 @@ def _wg_kernel(idx_ref, w_ref, t_ref, o_ref, *, k_block, acc_dtype):
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (k_block, nv_block), 1) + lo
         onehot = jnp.where(cols == idx[:, None], w[:, None],
-                           jnp.zeros((), acc_dtype)).astype(acc_dtype)
+                           jnp.zeros((), jnp.float32)).astype(acc_dtype)
         o_ref[0] += jnp.dot(onehot, t_ref[0].astype(acc_dtype),
                             preferred_element_type=jnp.float32)
 
@@ -87,7 +87,9 @@ def weighted_gather_mm(table, idx, w, k_block=1024, nv_block=1024,
     """
     G, Nv, C = table.shape
     _, K = idx.shape
-    kb = min(k_block, _round_up(K, 128))
+    # mosaic tiles rank-1 VMEM operands at 1024 — block sizes must divide
+    # evenly (a kb=768 block of a 3072 operand is rejected)
+    kb = min(_round_up(k_block, 1024), _round_up(K, 1024))
     nb = min(nv_block, _round_up(Nv, 8))
     Kp = _round_up(K, kb)
     Np = _round_up(Nv, nb)
@@ -114,7 +116,7 @@ def weighted_gather_mm(table, idx, w, k_block=1024, nv_block=1024,
         out_shape=jax.ShapeDtypeStruct((G, Kp, C), jnp.float32),
         interpret=interpret,
     )(idx.astype(jnp.int32).reshape(-1),
-      w.astype(acc_dtype).reshape(-1), table)
+      w.astype(jnp.float32).reshape(-1), table)
     return out[:, :K, :]
 
 
