@@ -141,6 +141,20 @@ def _quad_gather(qt, gidx, dims, bwd_impl):
     The reduce's Q-minor operand preference is an XLA:TPU lowering
     choice this formulation cannot sidestep; the head-major form pays
     one 1.4 ms/layer copy and everything else stays fused.
+
+    NOTE(probed 2026-08-20, rejected): weight-folded one-hot MXU gather
+    — the scatter-mm kernel's inverse, ``onehot[k,r] = (idx[k]==r)*w[k]``
+    so the MXU applies the slot weight during the gather and the
+    separate ``g * wt`` VPU pass disappears
+    (tools/probe_msda_weighted_gather_mm.py). Standalone per-level vs
+    this gather + weighted partial at det-encoder flagship shapes
+    (v5e, bf16, ms/layer-level): nv=10000: 10.57 vs 1.21; 2500: 5.00 vs
+    1.24; 625: 3.30 vs 1.44; 169: 2.86 vs 1.04 — loses 2.7-8.7x at
+    EVERY level, including the 169-row one where the unweighted one-hot
+    probe had once won marginally. Confirms PERF.md's arithmetic: the
+    backward's one-hot-mm win exists only because XLA scatter-add is
+    3-4x slower than gather; on the forward the ~7 ns/lookup gather is
+    already the optimum.
     """
     del dims, bwd_impl
     # indices are in-bounds by construction (corner starts are clamped to
