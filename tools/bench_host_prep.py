@@ -4,7 +4,8 @@ device-augment planner.
 
 Times ONLY the host work per sample (no model, no device): the full
 reference cls train tail (RandomResizedCrop/Flip/RandAugment/Erase/
-Normalize on 256px uint8 inputs) vs the DeviceAugmentPlanner path
+Normalize on 256px float32 post-decode images, as LoadImageFromFile
+emits them in production) vs the DeviceAugmentPlanner path
 (parameter draws + uint8 passthrough). This isolates the prep cost that
 bounds scan-mode (K-step) training throughput, where K same-task batches
 must be prepped back-to-back (PERF.md host-input-bottleneck section);

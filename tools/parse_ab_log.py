@@ -7,8 +7,17 @@ Prints steady-state (after --skip records, default: drop the first 25% of
 records to exclude compile iterations) mean/median of ``time`` and
 ``data_time`` overall and per task, plus the implied s/iter and img/s for
 the flagship mix. Records come from utils/logging.py's jsonl sink (one
-record per log interval; ``time``/``data_time`` are per-iter averages over
-the interval as written by engine/runner.py).
+record per log interval). Sampling caveats (engine/hooks.py LogHook):
+
+* In per-iter mode only ``time`` is recomputed as dt/iters over the
+  interval; ``data_time`` is the LAST iteration's point sample. With
+  log interval > 1 the data_time stats below are therefore sample
+  statistics, not per-interval averages (scan mode averages both).
+* Per-task grouping attributes a record to the task named in its loss
+  keys. With an interleaving MTL strategy and log interval > 1 the
+  interval spans mixed-task iterations, so per-task ``time`` stats are
+  cross-contaminated — trust them only with log interval=1 or a
+  task-blocked strategy.
 """
 import argparse
 import json
