@@ -113,7 +113,8 @@ def make_step_config(cfg) -> TrainStepConfig:
         seg_ignore_index=255,
         cdn=cdn_cfg, det=det_cfg,
         img_norm=derive_img_norm(cfg),
-        device_aug=derive_device_aug(cfg))
+        device_aug=derive_device_aug(cfg),
+        seg_device_aug=derive_seg_device_aug(cfg))
 
 
 def derive_device_aug(cfg):
@@ -134,6 +135,23 @@ def derive_device_aug(cfg):
     return None
 
 
+def derive_seg_device_aug(cfg):
+    """SegDeviceAugmentConfig when a seg loader opts into device-side
+    augmentation (loader.seg_device_augment)."""
+    for entry in cfg.data.values():
+        opts = dict(entry.get("loader", {}))
+        if entry["task"] != "seg" or not opts.get("seg_device_augment"):
+            continue
+        from rscotr_tpu.data.pipelines import split_seg_device_augment_cfg
+        from rscotr_tpu.ops.device_augment import SegDeviceAugmentConfig
+        dcfg = entry["data"].get("train") or {}
+        _, _, kw = split_seg_device_augment_cfg(
+            list(dcfg.get("pipeline", []) or []),
+            src_size=opts.get("seg_src_size", opts.get("seg_size", 512)))
+        return SegDeviceAugmentConfig(**kw)
+    return None
+
+
 def derive_img_norm(cfg):
     """(mean, std) for device-side preprocessing, from the Normalize op of
     any dataset whose loader sets device_preprocess (or the cls
@@ -144,7 +162,9 @@ def derive_img_norm(cfg):
     for entry in cfg.data.values():
         opts = dict(entry.get("loader", {}))
         if not (opts.get("device_preprocess") or
-                opts.get("cls_device_augment")):
+                opts.get("cls_device_augment") or
+                opts.get("seg_device_augment") or
+                opts.get("det_device_augment")):
             continue
         for split in ("train", "val", "test"):
             dcfg = entry["data"].get(split) or {}
@@ -162,7 +182,9 @@ def derive_img_norm(cfg):
         for entry in cfg.data.values():
             opts = dict(entry.get("loader", {}))
             if opts.get("device_preprocess") or \
-                    opts.get("cls_device_augment"):
+                    opts.get("cls_device_augment") or \
+                    opts.get("seg_device_augment") or \
+                    opts.get("det_device_augment"):
                 return ((123.675, 116.28, 103.53),
                         (58.395, 57.12, 57.375))
     return found

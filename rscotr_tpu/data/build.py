@@ -136,6 +136,18 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
             pcfg, img_norm, _ = split_device_augment_cfg(
                 pcfg, src_size=opts.get("cls_src_size", 256))
             collate = collate_cls_aug
+        elif train and ds.task == "seg" and \
+                opts.get("seg_device_augment", False):
+            # ratio-resize/crop/flip/photometric pixel work moves into
+            # the jitted seg step; the host draws parameters and
+            # processes the (cheap, index-work) label only
+            from rscotr_tpu.data.loader import collate_seg_aug
+            from rscotr_tpu.data.pipelines import \
+                split_seg_device_augment_cfg
+            pcfg, img_norm, _ = split_seg_device_augment_cfg(
+                pcfg, src_size=opts.get("seg_src_size",
+                                        opts.get("seg_size", 512)))
+            collate = collate_seg_aug
         elif opts.get("device_preprocess", False):
             # strip Normalize from the host pipeline; ship uint8, the
             # jitted step normalizes (+ re-zeros padding) on device

@@ -51,6 +51,34 @@ def collate_cls_aug(samples: List[dict]) -> Dict[str, np.ndarray]:
     return batch
 
 
+_SEG_AUG_KEYS = ("aug_resize_h", "aug_resize_w", "aug_crop_y",
+                 "aug_crop_x", "aug_crop_h", "aug_crop_w", "aug_flip",
+                 "aug_pm_bright", "aug_pm_c_pre", "aug_pm_hsv_on",
+                 "aug_pm_sat", "aug_pm_hue", "aug_pm_c_post")
+
+
+def collate_seg_aug(samples: List[dict]) -> Dict[str, np.ndarray]:
+    """Device-augment mode: raw uint8 source tiles + fully-processed
+    labels + per-sample ``aug_*`` records from SegDeviceAugmentPlanner
+    (image pixel work runs on TPU inside the jitted seg train step);
+    ``img_hw`` is the post-crop valid region for the pad mask."""
+    B = len(samples)
+    batch = {
+        "img": np.stack([s["img"] for s in samples]).astype(np.uint8),
+        "gt_semantic_seg": np.stack(
+            [s["gt_semantic_seg"] for s in samples]).astype(np.int32),
+        "img_hw": np.stack(
+            [np.asarray([s["aug_crop_h"], s["aug_crop_w"]], np.int32)
+             for s in samples]),
+        "ori_hw": np.stack(
+            [np.asarray(s.get("ori_shape", s["img"].shape)[:2], np.int32)
+             for s in samples]),
+    }
+    for k in _SEG_AUG_KEYS:
+        batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+    return batch
+
+
 def select_det_bucket(bucket_hw, h: int, w: int):
     """Pick the smallest-area bucket fitting (h, w).
 

@@ -86,9 +86,10 @@ class Resize:
         # flag is accepted for config parity and needs no behavior.
         self.interpolation = interpolation
 
-    def __call__(self, results, rng=None):
-        img = results["img"]
-        h, w = img.shape[:2]
+    def draw_new_hw(self, h, w, rng):
+        """(new_h, new_w) — the single source of truth for the scale
+        draw + keep_ratio math, shared with the device-augment
+        planners (identical rng stream)."""
         scale = self.img_scale
         if (isinstance(scale, (list, tuple)) and len(scale) and
                 isinstance(scale[0], (list, tuple))):
@@ -103,10 +104,14 @@ class Resize:
         if self.keep_ratio:
             long_side, short_side = max(scale), min(scale)
             f = min(long_side / max(h, w), short_side / min(h, w))
-            new_hw = (int(h * f + 0.5), int(w * f + 0.5))
-        else:
-            new_hw = (scale[0], scale[1]) if isinstance(scale, (tuple, list)) \
-                else (scale, scale)
+            return (int(h * f + 0.5), int(w * f + 0.5))
+        return (scale[0], scale[1]) if isinstance(scale, (tuple, list)) \
+            else (scale, scale)
+
+    def __call__(self, results, rng=None):
+        img = results["img"]
+        h, w = img.shape[:2]
+        new_hw = self.draw_new_hw(h, w, rng)
         wf = new_hw[1] / w
         hf = new_hw[0] / h
         results["img"] = _resize_img(img, new_hw, self.interpolation)
@@ -250,6 +255,21 @@ class RandomCrop:
         x = int(rng.integers(0, w - cw + 1))
         return y, x, ch, cw
 
+    def select_seg_box(self, shape, seg, rng, box):
+        """cat_max_ratio redraw loop (mmseg semantics) — shared with
+        SegDeviceAugmentPlanner: up to 10 redraws until no class (other
+        than ignore_index) covers >= cat_max_ratio of the crop."""
+        for _ in range(10):
+            y, x, ch, cw = box
+            crop = seg[y:y + ch, x:x + cw]
+            labels, cnt = np.unique(crop, return_counts=True)
+            cnt = cnt[labels != self.ignore_index]
+            if len(cnt) > 1 and cnt.max() / cnt.sum() < \
+                    self.cat_max_ratio:
+                break
+            box = self._crop_box(shape, rng)
+        return box
+
     def _crop_bboxes(self, results, box):
         y, x, ch, cw = box
         bboxes = results.get("gt_bboxes")
@@ -279,15 +299,8 @@ class RandomCrop:
             if not ok:
                 return results  # mmdet: invalid crop -> skip (uncropped)
         if self.cat_max_ratio < 1.0 and "gt_semantic_seg" in results:
-            for _ in range(10):
-                y, x, ch, cw = box
-                seg = results["gt_semantic_seg"][y:y + ch, x:x + cw]
-                labels, cnt = np.unique(seg, return_counts=True)
-                cnt = cnt[labels != self.ignore_index]
-                if len(cnt) > 1 and cnt.max() / cnt.sum() < \
-                        self.cat_max_ratio:
-                    break
-                box = self._crop_box(img.shape, rng)
+            box = self.select_seg_box(img.shape, results["gt_semantic_seg"],
+                                      rng, box)
         y, x, ch, cw = box
         results["img"] = img[y:y + ch, x:x + cw]
         results["img_shape"] = results["img"].shape
@@ -308,34 +321,51 @@ class PhotoMetricDistortion:
         self.saturation_range = saturation_range
         self.hue_delta = hue_delta
 
-    def __call__(self, results, rng):
-        img = results["img"].astype(np.float32)
+    def draw_params(self, rng):
+        """Neutral-folded parameter record — the single source of truth
+        for the draw sequence (incl. the short-circuit `or` on the HSV
+        gate), shared with SegDeviceAugmentPlanner. Keys: bright (add,
+        0=off), c_pre/c_post (mult, 1=off), hsv_on (the lossy uint8 HSV
+        round trip happened), sat (mult), hue (add)."""
+        p = dict(bright=0.0, c_pre=1.0, hsv_on=False, sat=1.0, hue=0.0,
+                 c_post=1.0)
         if rng.integers(2):
-            img = img + rng.uniform(-self.brightness_delta,
-                                    self.brightness_delta)
-        contrast_last = rng.integers(2)
+            p["bright"] = float(rng.uniform(-self.brightness_delta,
+                                            self.brightness_delta))
+        contrast_last = bool(rng.integers(2))
         if not contrast_last and rng.integers(2):
-            img = img * rng.uniform(*self.contrast_range)
-        # saturation & hue in HSV
+            p["c_pre"] = float(rng.uniform(*self.contrast_range))
         if rng.integers(2) or rng.integers(2):
-            import colorsys  # noqa: F401  (documentational)
+            p["hsv_on"] = True
+            if rng.integers(2):
+                p["sat"] = float(rng.uniform(*self.saturation_range))
+            if rng.integers(2):
+                p["hue"] = float(rng.uniform(-self.hue_delta,
+                                             self.hue_delta))
+        if contrast_last and rng.integers(2):
+            p["c_post"] = float(rng.uniform(*self.contrast_range))
+        return p
+
+    @staticmethod
+    def apply_params(img, p):
+        """Host-pixel application of a draw_params record (PIL HSV)."""
+        img = img.astype(np.float32) + p["bright"]
+        img = img * p["c_pre"]
+        if p["hsv_on"]:
             img_c = np.clip(img, 0, 255).astype(np.uint8)
             hsv = np.asarray(Image.fromarray(img_c).convert("HSV"),
                              np.float32)
-            if rng.integers(2):
-                hsv[..., 1] = np.clip(
-                    hsv[..., 1] * rng.uniform(*self.saturation_range),
-                    0, 255)
-            if rng.integers(2):
-                hsv[..., 0] = (hsv[..., 0] +
-                               rng.uniform(-self.hue_delta,
-                                           self.hue_delta)) % 256
+            hsv[..., 1] = np.clip(hsv[..., 1] * p["sat"], 0, 255)
+            hsv[..., 0] = (hsv[..., 0] + p["hue"]) % 256
             img = np.asarray(
                 Image.fromarray(hsv.astype(np.uint8),
                                 "HSV").convert("RGB"), np.float32)
-        if contrast_last and rng.integers(2):
-            img = img * rng.uniform(*self.contrast_range)
-        results["img"] = np.clip(img, 0, 255)
+        img = img * p["c_post"]
+        return np.clip(img, 0, 255)
+
+    def __call__(self, results, rng):
+        results["img"] = self.apply_params(results["img"],
+                                           self.draw_params(rng))
         return results
 
 
@@ -643,6 +673,134 @@ class DeviceAugmentPlanner:
         results["aug_erase_h"] = np.int32(eh)
         results["aug_erase_w"] = np.int32(ew)
         return results
+
+
+@PIPELINES.register_module(name="SegDeviceAugmentPlanner")
+class SegDeviceAugmentPlanner:
+    """Parameter-only twin of the seg train augment tail.
+
+    Replaces [Resize(ratio_range), RandomCrop, RandomFlip,
+    PhotoMetricDistortion, Normalize, Pad] when
+    ``loader.seg_device_augment`` is set: the host draws the SAME random
+    parameters (via the ops' shared ``draw_new_hw``/``_crop_box``/
+    ``select_seg_box``/``draw_params`` methods) and fully processes the
+    LABEL (nearest resize + crop + flip + pad — index work, cheap); the
+    image ships as raw uint8 with tiny ``aug_*`` records and
+    ``ops/device_augment.seg_device_augment`` does the pixel work
+    batched inside the jitted seg train step. The cat_max_ratio redraw
+    loop needs the resized label, which is why the label stays host-side
+    (the reference runs it on the label too —
+    /root/reference/configs/_base_/seg/potsdam_IRRG_all.py:13)."""
+
+    def __init__(self, resize=None, crop=None, flip=None,
+                 photometric=None, pad=None, src_size=512):
+        self.src_size = src_size
+        self.resize = Resize(**(resize or {}))
+        self.crop = RandomCrop(**(crop or {}))
+        fl = dict(flip or {})
+        self.flip_prob = fl.get("prob", fl.get("flip_prob",
+                                               fl.get("flip_ratio", 0.5)))
+        assert fl.get("direction", "horizontal") == "horizontal"
+        self.pm = PhotoMetricDistortion(**(photometric or {}))
+        pd = dict(pad or {})
+        ps = pd.get("size", (src_size, src_size))
+        self.pad_size = tuple(ps)
+        self.seg_pad_val = pd.get("seg_pad_val", 255)
+        cs = tuple(self.crop.crop_size)
+        assert self.pad_size == cs, (
+            f"seg_device_augment needs Pad size {self.pad_size} == "
+            f"crop_size {cs} (static device output)")
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        h, w = img.shape[:2]
+        if (h, w) != (self.src_size, self.src_size):
+            # static device shapes need a fixed source size; Potsdam
+            # tiles are uniformly 512x512 so this is a safety net
+            img = _resize_img(img, (self.src_size, self.src_size),
+                              "bilinear")
+            if "gt_semantic_seg" in results:
+                results["gt_semantic_seg"] = _resize_seg(
+                    results["gt_semantic_seg"],
+                    (self.src_size, self.src_size))
+            h = w = self.src_size
+        results["img"] = np.clip(np.round(img), 0, 255).astype(np.uint8)
+        seg = results.get("gt_semantic_seg")
+
+        new_hw = self.resize.draw_new_hw(h, w, rng)
+        seg_r = _resize_seg(seg, new_hw) if seg is not None else None
+        sf = np.array([new_hw[1] / w, new_hw[0] / h,
+                       new_hw[1] / w, new_hw[0] / h], np.float32)
+        results["scale_factor"] = np.asarray(
+            sf * results.get("scale_factor", 1.0), np.float32)
+
+        box = self.crop._crop_box((new_hw[0], new_hw[1], 3), rng)
+        if self.crop.cat_max_ratio < 1.0 and seg_r is not None:
+            box = self.crop.select_seg_box((new_hw[0], new_hw[1], 3),
+                                           seg_r, rng, box)
+        y, x, ch, cw = box
+        seg_c = seg_r[y:y + ch, x:x + cw] if seg_r is not None else None
+
+        do_flip = bool(rng.uniform() < self.flip_prob) \
+            if self.flip_prob else False
+        if do_flip and seg_c is not None:
+            seg_c = seg_c[:, ::-1]
+        p = self.pm.draw_params(rng)
+
+        ph, pw = self.pad_size
+        if seg_c is not None:
+            out = np.full((ph, pw), self.seg_pad_val, seg.dtype)
+            out[:ch, :cw] = seg_c
+            results["gt_semantic_seg"] = out
+        results["img_shape"] = (ch, cw, 3)
+        results["pad_shape"] = (ph, pw, 3)
+        results["aug_resize_h"] = np.int32(new_hw[0])
+        results["aug_resize_w"] = np.int32(new_hw[1])
+        results["aug_crop_y"] = np.int32(y)
+        results["aug_crop_x"] = np.int32(x)
+        results["aug_crop_h"] = np.int32(ch)
+        results["aug_crop_w"] = np.int32(cw)
+        results["aug_flip"] = do_flip
+        results["aug_pm_bright"] = np.float32(p["bright"])
+        results["aug_pm_c_pre"] = np.float32(p["c_pre"])
+        results["aug_pm_hsv_on"] = bool(p["hsv_on"])
+        results["aug_pm_sat"] = np.float32(p["sat"])
+        results["aug_pm_hue"] = np.float32(p["hue"])
+        results["aug_pm_c_post"] = np.float32(p["c_post"])
+        return results
+
+
+def split_seg_device_augment_cfg(cfgs: Sequence[dict],
+                                 src_size: int = 512):
+    """Rewrite a seg train pipeline for device-side augmentation: the
+    augment tail becomes one SegDeviceAugmentPlanner cfg; Normalize
+    moves to the device. Returns (new_cfgs, img_norm,
+    seg_device_aug_cfg_kwargs) — the kwargs feed
+    ops/device_augment.SegDeviceAugmentConfig."""
+    head, parts, norm = [], {}, None
+    keymap = {"Resize": "resize", "RandomCrop": "crop",
+              "RandomFlip": "flip", "PhotoMetricDistortion": "photometric",
+              "Pad": "pad"}
+    for c in cfgs:
+        t = c.get("type")
+        if t in keymap:
+            parts[keymap[t]] = {k: v for k, v in c.items() if k != "type"}
+        elif t == "Normalize":
+            norm = {"mean": list(c.get("mean", DEFAULT_MEAN)),
+                    "std": list(c.get("std", DEFAULT_STD))}
+        else:
+            assert not parts, (
+                f"op {t!r} after the augment tail started — seg device "
+                "augment supports the reference seg pipeline order")
+            head.append(c)
+    assert "crop" in parts, "seg_device_augment needs a RandomCrop"
+    planner_cfg = dict(type="SegDeviceAugmentPlanner", src_size=src_size,
+                       **parts)
+    crop_size = parts["crop"].get("crop_size", (512, 512))
+    assert crop_size[0] == crop_size[1], (
+        "seg_device_augment supports square crop_size only")
+    dev_cfg = dict(src_size=src_size, out_size=int(crop_size[0]))
+    return head + [planner_cfg], norm, dev_cfg
 
 
 def split_device_augment_cfg(cfgs: Sequence[dict], src_size: int = 256):

@@ -48,6 +48,10 @@ class TrainStepConfig:
     # device-side cls augmentation (ops/device_augment): set when the cls
     # loader runs in cls_device_augment mode (batch carries aug_* records)
     device_aug: Optional[object] = None
+    # device-side seg augmentation (loader.seg_device_augment)
+    seg_device_aug: Optional[object] = None
+    # device-side det augmentation (loader.det_device_augment)
+    det_device_aug: Optional[object] = None
 
 
 def device_normalize(img, img_norm, img_hw=None):
@@ -148,8 +152,27 @@ def cls_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
 
 def seg_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
                 train: bool = True):
-    img = device_normalize(batch["img"], cfg.img_norm,
-                           batch.get("img_hw"))
+    if train and cfg.seg_device_aug is not None and \
+            "aug_resize_h" in batch:
+        # on-device augment stage (ratio resize + crop + flip +
+        # photometric on raw 0..255), then normalize + pad-mask — the
+        # host pipeline's Normalize-then-Pad(0) order
+        from rscotr_tpu.ops.device_augment import seg_device_augment
+        aug = {k[len("aug_"):]: batch[k] for k in batch
+               if k.startswith("aug_")}
+        img = seg_device_augment(batch["img"], aug, cfg.seg_device_aug)
+        mean, std = cfg.img_norm if cfg.img_norm is not None else (
+            (123.675, 116.28, 103.53), (58.395, 57.12, 57.375))
+        img = (img - jnp.asarray(mean)) / jnp.asarray(std)
+        img_hw = batch["img_hw"]
+        B, H, W, _ = img.shape
+        row = jnp.arange(H)[None, :] < img_hw[:, 0][:, None]
+        col = jnp.arange(W)[None, :] < img_hw[:, 1][:, None]
+        keep = (row[:, :, None] & col[:, None, :])[..., None]
+        img = jnp.where(keep, img, 0.0)
+    else:
+        img = device_normalize(batch["img"], cfg.img_norm,
+                               batch.get("img_hw"))
     gt = batch["gt_semantic_seg"]
     logits = model.apply(params, img, deterministic=not train,
                          rngs={"dropout": rng} if train else None,

@@ -49,6 +49,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 # canonical op table order — mirrors data/pipelines.py RAND_AUG_OPS
 RAND_AUG_OP_NAMES = (
     "AutoContrast", "Equalize", "Invert", "Rotate", "Posterize",
@@ -81,6 +83,86 @@ def _cubic(x, a=-0.5):
     w1 = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
     w2 = a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a
     return jnp.where(ax < 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
+def _triangle(x):
+    """PIL BILINEAR kernel, support 1."""
+    return jnp.maximum(1.0 - jnp.abs(x), 0.0)
+
+
+_KERNELS = {"bicubic": _cubic, "bilinear": _triangle}
+
+
+def pil_resample_matrix(n_rows: int, src_size: int, win_start, win_size,
+                        row0, out_len, n_valid, kernel: str = "bicubic",
+                        mirror_out=None, mirror_src=None, src_len=None):
+    """(B, n_rows, src_size) PIL ``Image.resize`` weight rows — the
+    general separable-resize-as-matmul builder behind every device
+    augment stage (one axis; apply twice for 2-D).
+
+    Emits output rows [row0, row0+n_rows) of PIL's antialiased resize of
+    the half-open source window [win_start, win_start+win_size) to
+    ``out_len`` rows. All window parameters are per-image (B,) arrays;
+    everything is built from elementwise/broadcast ops (no gathers).
+
+    PIL semantics: scale = win_size/out_len; filterscale = max(scale, 1);
+    center_i = win_start + (row0+i+0.5)*scale; taps j weighted
+    kernel((j+0.5-center)/filterscale), window clipped to the source
+    window and renormalized.
+
+    Uses beyond a plain resize:
+    * crop-then-resize (cls RandomResizedCrop): win = crop box, row0=0.
+    * resize-then-crop (seg ratio-resize + RandomCrop): win = full valid
+      source, row0 = crop origin IN RESIZED COORDS, n_valid = crop len —
+      computing only the cropped rows of the resized image is exactly
+      PIL-resize-everything-then-slice.
+    * ``n_valid`` zeroes rows >= it (static out shape, per-image valid
+      length; pair with downstream masking).
+    * ``mirror_out`` (B,) bool: horizontal-flip AFTER this stage folded
+      into the matrix — row i reads resized row n_valid-1-i. Exact
+      (no resampling cost; PIL flip is a pure permutation).
+    * ``mirror_src`` (B,) bool: flip BEFORE this stage — taps evaluated
+      against the mirrored source of valid length ``src_len``
+      (defaults to win_start+win_size).
+    """
+    f32 = jnp.float32
+    win_start = jnp.asarray(win_start, f32)
+    win_size = jnp.asarray(win_size, f32)
+    row0 = jnp.asarray(row0, f32)
+    out_len = jnp.asarray(out_len, f32)
+    n_valid_f = jnp.asarray(n_valid, f32)
+    scale = win_size / jnp.maximum(out_len, 1.0)              # (B,)
+    fscale = jnp.maximum(scale, 1.0)
+    i = jnp.arange(n_rows, dtype=f32)[None, :]                # (1, R)
+    if mirror_out is not None:
+        i = jnp.where(jnp.asarray(mirror_out)[:, None],
+                      n_valid_f[:, None] - 1.0 - i, i)        # (B, R)
+    center = win_start[:, None] + (row0[:, None] + i + 0.5) * \
+        scale[:, None]                                        # (B, R)
+    j = jnp.arange(src_size, dtype=f32)                       # (S,)
+    pos = j[None, None, :]                                    # tap coord
+    if mirror_src is not None:
+        sl = jnp.asarray(win_start + win_size if src_len is None
+                         else src_len, f32)
+        mpos = sl[:, None, None] - 1.0 - j[None, None, :]
+        pos = jnp.where(jnp.asarray(mirror_src)[:, None, None],
+                        mpos, pos)
+    x = (pos + 0.5 - center[:, :, None]) / fscale[:, None, None]
+    w = _KERNELS[kernel](x)                                   # (B, R, S)
+    inside = (pos >= win_start[:, None, None]) & \
+        (pos < (win_start + win_size)[:, None, None])
+    w = jnp.where(inside, w, 0.0)
+    w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-8)
+    valid_row = jnp.arange(n_rows, dtype=f32)[None, :] < \
+        n_valid_f[:, None]                                    # (B, R)
+    return jnp.where(valid_row[:, :, None], w, 0.0)
+
+
+def apply_resample(img, my, mx):
+    """out = my @ img @ mx^T per image/channel (f32-precision MXU work;
+    bf16-class default would cost ~1 gray level on 512-tap rows)."""
+    out = jnp.einsum("bys,bswc->bywc", my, img, precision=_HIGHEST)
+    return jnp.einsum("bxw,bywc->byxc", mx, out, precision=_HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +493,156 @@ def random_erase(img, on, y, x, eh, ew, fill, fill_std, noise_key):
     else:
         patch = jnp.broadcast_to(fill, img.shape)
     return jnp.where(mask, jnp.clip(patch, 0.0, 255.0), img)
+
+
+# ---------------------------------------------------------------------------
+# PIL HSV round trip (seg PhotoMetricDistortion)
+# ---------------------------------------------------------------------------
+
+def pil_rgb_to_hsv(img_u8):
+    """PIL ``convert('HSV')`` on uint8-valued float input -> (h, s, v)
+    float32 in 0..255.
+
+    Pinned by probe vs Pillow 11 (2026-08-21, tests/test_device_augment):
+    S and V are bit-exact (integer formula: s = 255*cr // uv); H follows
+    the sixths decomposition h_units = {bc-gc | 510+rc-bc | 1020+gc-rc}
+    (+1530 if negative) // 6 with rc/gc/bc = 255*(uv-x)//cr — exact on
+    92% of inputs, +-1 H level on the rest (Pillow computes H via a
+    float64 colorsys transliteration with truncation; its double
+    rounding lands one unit below the exact integer quotient on
+    exact-multiple inputs)."""
+    r, g, b = (img_u8[..., k].astype(jnp.int32) for k in range(3))
+    uv = jnp.maximum(r, jnp.maximum(g, b))
+    lv = jnp.minimum(r, jnp.minimum(g, b))
+    cr = uv - lv
+    crs = jnp.maximum(cr, 1)
+    s = (255 * cr) // jnp.maximum(uv, 1)
+    rc = (255 * (uv - r)) // crs
+    gc = (255 * (uv - g)) // crs
+    bc = (255 * (uv - b)) // crs
+    h = jnp.where(r == uv, bc - gc,
+                  jnp.where(g == uv, 2 * 255 + rc - bc,
+                            4 * 255 + gc - rc))
+    h = jnp.where(h < 0, h + 6 * 255, h) // 6
+    flat = cr == 0
+    h = jnp.where(flat, 0, h)
+    s = jnp.where(flat, 0, s)
+    return (h.astype(jnp.float32), s.astype(jnp.float32),
+            uv.astype(jnp.float32))
+
+
+def pil_hsv_to_rgb(h, s, v):
+    """PIL HSV->RGB, float32 0..255 channels -> (..., 3) float 0..255.
+
+    Exhaustively verified against Pillow over all 256^3 uint8 HSV inputs
+    (float64 colorsys transliteration with round-half-even is bit-exact;
+    this f32 version can land +-1 on rare near-tie fractions)."""
+    h6 = h * (6.0 / 255.0)
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = jnp.round(v * (255.0 - s) * (1.0 / 255.0))
+    q = jnp.round(v * (255.0 - s * f) * (1.0 / 255.0))
+    t = jnp.round(v * (255.0 - s * (1.0 - f)) * (1.0 / 255.0))
+    i = jnp.mod(i, 6.0)
+    sel = [i == k for k in range(6)]
+
+    def pick(opts):
+        out = opts[5]
+        for k in range(4, -1, -1):
+            out = jnp.where(sel[k], opts[k], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
+    gray = s == 0
+    r = jnp.where(gray, v, r)
+    g = jnp.where(gray, v, g)
+    b = jnp.where(gray, v, b)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def photometric_distortion(img, pm):
+    """Batched mmseg-style PhotoMetricDistortion with host-drawn params
+    (data/pipelines.py PhotoMetricDistortion.draw_params — neutral values
+    where a sub-op's coin landed off).
+
+    img: (B, H, W, 3) float 0..255. pm keys, all (B,): ``bright`` add
+    delta (0=off), ``c_pre``/``c_post`` contrast multipliers (1=off),
+    ``hsv_on`` bool (the host's HSV round trip happened — lossy even
+    with neutral sat/hue), ``sat`` multiplier, ``hue`` additive delta.
+    Mirrors the host op's value chain exactly: float adds/mults, clip +
+    truncate to uint8 at the HSV boundary, final clip WITHOUT rounding.
+    """
+    def b4(x):
+        return x[:, None, None, None]
+
+    def b3(x):
+        return x[:, None, None]
+
+    x = img + b4(pm["bright"])
+    x = x * b4(pm["c_pre"])
+    # HSV branch (host: np.clip(img,0,255).astype(uint8) -> PIL HSV)
+    xu = jnp.floor(jnp.clip(x, 0.0, 255.0))
+    h, s, v = pil_rgb_to_hsv(xu)
+    s = jnp.floor(jnp.clip(s * b3(pm["sat"]), 0.0, 255.0))
+    h = jnp.floor(jnp.mod(h + b3(pm["hue"]), 256.0))
+    rgb = pil_hsv_to_rgb(h, s, v)
+    x = jnp.where(b4(pm["hsv_on"]), rgb, x)
+    x = x * b4(pm["c_post"])
+    return jnp.clip(x, 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# seg train augment stage (ratio resize + crop + flip + photometric)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SegDeviceAugmentConfig:
+    src_size: int = 512          # static source tile size (Potsdam: 512)
+    out_size: int = 512          # crop_size / padded output
+
+
+def seg_device_augment(img, aug, cfg: SegDeviceAugmentConfig):
+    """The seg train pipeline's pixel work on device, batched.
+
+    Host op order (configs/_base_/seg/potsdam_IRRG_all.py, mirroring
+    /root/reference/configs/_base_/seg/potsdam_IRRG_all.py:10-20):
+    ratio-range Resize -> RandomCrop -> RandomFlip -> PhotoMetric ->
+    Normalize -> Pad. Here resize+crop collapse into ONE PIL-bilinear
+    matrix pair (computing only the cropped rows of the resized image is
+    exactly resize-then-slice), the flip folds into the matrix
+    (mirror_out), photometric runs batched, and Normalize/Pad stay with
+    the caller (device_normalize + img_hw masking). The label runs the
+    same ops host-side in the planner (nearest resize + crop are
+    row-index work, not pixel filtering).
+
+    img: (B, S, S, 3) uint8 0..255. aug keys (B,) each: resize_h/w
+    (ratio-resized size), crop_y/x (origin in resized coords), crop_h/w,
+    flip, pm_* (photometric_distortion params). Returns (B, out, out, 3)
+    float32 raw 0..255. The pad region (rows/cols >= crop_h/w) leaves
+    the resample as zero but picks up the photometric adds — the caller
+    MUST mask by img_hw = (crop_h, crop_w) after normalize (matching the
+    host's Normalize-then-Pad(0) zeros; engine/train_step.seg_loss_fn
+    does)."""
+    S = img.shape[1]
+    x = img.astype(jnp.float32)
+    B = x.shape[0]
+    src = jnp.full((B,), S, jnp.int32)
+    zeros = jnp.zeros((B,), jnp.int32)
+    my = pil_resample_matrix(
+        cfg.out_size, S, win_start=zeros, win_size=src,
+        row0=aug["crop_y"], out_len=aug["resize_h"],
+        n_valid=aug["crop_h"], kernel="bilinear")
+    mx = pil_resample_matrix(
+        cfg.out_size, S, win_start=zeros, win_size=src,
+        row0=aug["crop_x"], out_len=aug["resize_w"],
+        n_valid=aug["crop_w"], kernel="bilinear",
+        mirror_out=aug["flip"])
+    out = apply_resample(x, my, mx)
+    out = jnp.clip(jnp.round(out), 0.0, 255.0)    # PIL resize -> uint8
+    pm = {k[len("pm_"):]: aug[k] for k in aug if k.startswith("pm_")}
+    return photometric_distortion(out, pm)
 
 
 def cls_device_augment(img, aug, cfg: DeviceAugmentConfig,

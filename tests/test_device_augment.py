@@ -278,3 +278,292 @@ class TestLoaderIntegration:
                           {k: jnp.asarray(v) for k, v in batch.items()},
                           jax.random.key(1))
         assert np.isfinite(float(lv["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# seg on-device augmentation (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+class TestPilHsv:
+    def _rand_rgb(self, n=40000, seed=0):
+        return np.random.default_rng(seed).integers(
+            0, 256, (n, 3), dtype=np.uint8)
+
+    def test_rgb2hsv_vs_pil(self):
+        from PIL import Image
+        rgb = self._rand_rgb()
+        want = np.asarray(Image.fromarray(
+            rgb.reshape(1, -1, 3), "RGB").convert("HSV"),
+            np.int32).reshape(-1, 3)
+        h, s, v = D.pil_rgb_to_hsv(jnp.asarray(rgb.reshape(1, -1, 1, 3),
+                                               jnp.float32))
+        got = np.stack([np.asarray(x).reshape(-1) for x in (h, s, v)], -1)
+        d = np.abs(got - want)
+        # S and V bit-exact; H +-1 on Pillow's float64-truncation ties
+        assert d[:, 1].max() == 0 and d[:, 2].max() == 0
+        assert d[:, 0].max() <= 1
+        assert (d[:, 0] == 0).mean() > 0.85
+
+    def test_hsv2rgb_vs_pil(self):
+        from PIL import Image
+        hsv = self._rand_rgb(seed=1)
+        want = np.asarray(Image.fromarray(
+            hsv.reshape(1, -1, 3), "HSV").convert("RGB"),
+            np.int32).reshape(-1, 3)
+        f = [jnp.asarray(hsv[:, k].reshape(1, -1, 1), jnp.float32)
+             for k in range(3)]
+        got = np.asarray(D.pil_hsv_to_rgb(*f)).reshape(-1, 3)
+        d = np.abs(got - want)
+        # f64 round-half-even is bit-exact vs Pillow (exhaustively
+        # probed over all 256^3 inputs, 2026-08-21); f32 can land +-1
+        # on near-tie fractions, which shifts RGB by <= a few levels
+        assert d.max() <= 6
+        assert (d == 0).mean() > 0.95
+
+    def test_photometric_vs_host(self):
+        base = _smooth_images(b=8, size=48, seed=5)
+        pm_host = P.PhotoMetricDistortion()
+        params, wants = [], []
+        for i in range(len(base)):
+            rng = np.random.Generator(np.random.PCG64(200 + i))
+            p = pm_host.draw_params(rng)
+            params.append(p)
+            wants.append(pm_host.apply_params(base[i].copy(), p))
+        pm = {
+            "bright": jnp.asarray([p["bright"] for p in params],
+                                  jnp.float32),
+            "c_pre": jnp.asarray([p["c_pre"] for p in params],
+                                 jnp.float32),
+            "hsv_on": jnp.asarray([p["hsv_on"] for p in params], bool),
+            "sat": jnp.asarray([p["sat"] for p in params], jnp.float32),
+            "hue": jnp.asarray([p["hue"] for p in params], jnp.float32),
+            "c_post": jnp.asarray([p["c_post"] for p in params],
+                                  jnp.float32),
+        }
+        got = np.asarray(D.photometric_distortion(jnp.asarray(base), pm))
+        want = np.stack(wants)
+        d = np.abs(got - want)
+        assert d.mean() < 0.5, d.mean()
+        assert (d > 6).mean() < 0.01, (d > 6).mean()
+
+    def test_draw_params_matches_legacy_stream(self):
+        """draw_params + apply_params must consume the same rng stream
+        and produce the same pixels as the pre-refactor __call__ (the
+        host pipeline's behavior is the parity anchor)."""
+        base = _smooth_images(b=2, size=32, seed=6)
+        op = P.PhotoMetricDistortion()
+        for i in range(6):
+            r1 = np.random.Generator(np.random.PCG64(300 + i))
+            r2 = np.random.Generator(np.random.PCG64(300 + i))
+            out = op({"img": base[0].copy()}, r1)["img"]
+            p = op.draw_params(r2)
+            # identical rng stream position after the draws
+            assert r1.integers(1 << 30) == r2.integers(1 << 30)
+            out2 = op.apply_params(base[0].copy(), p)
+            assert np.array_equal(out, out2)
+
+
+class TestPilResampleMatrix:
+    def test_full_resize_matches_pil_bilinear(self):
+        from PIL import Image
+        base = _smooth_images(b=4, size=S, seed=7)
+        new_len = np.asarray([40, 64, 96, 128], np.int32)  # down+up
+        B = len(base)
+        zeros = jnp.zeros((B,), jnp.int32)
+        src = jnp.full((B,), S, jnp.int32)
+        my = D.pil_resample_matrix(128, S, zeros, src, zeros,
+                                   jnp.asarray(new_len),
+                                   jnp.asarray(new_len),
+                                   kernel="bilinear")
+        mx = my
+        got = np.asarray(D.apply_resample(jnp.asarray(base), my, mx))
+        got = np.clip(np.round(got), 0, 255)
+        for b in range(B):
+            n = int(new_len[b])
+            want = np.asarray(Image.fromarray(
+                base[b].astype(np.uint8)).resize((n, n), Image.BILINEAR),
+                np.float32)
+            d = np.abs(got[b, :n, :n] - want)
+            assert d.max() <= 2.0, (b, d.max())
+            assert np.abs(got[b, n:, :]).max() == 0 if n < 128 else True
+
+    def test_resize_then_crop_matches_pil(self):
+        from PIL import Image
+        base = _smooth_images(b=3, size=S, seed=8)
+        B = len(base)
+        new_len = np.asarray([150, 100, 96], np.int32)
+        crop0 = np.asarray([10, 20, 0], np.int32)
+        crop_len = np.asarray([64, 64, 64], np.int32)
+        flip = np.asarray([False, True, False])
+        zeros = jnp.zeros((B,), jnp.int32)
+        src = jnp.full((B,), S, jnp.int32)
+        my = D.pil_resample_matrix(64, S, zeros, src,
+                                   jnp.asarray(crop0),
+                                   jnp.asarray(new_len),
+                                   jnp.asarray(crop_len),
+                                   kernel="bilinear")
+        mx = D.pil_resample_matrix(64, S, zeros, src,
+                                   jnp.asarray(crop0),
+                                   jnp.asarray(new_len),
+                                   jnp.asarray(crop_len),
+                                   kernel="bilinear",
+                                   mirror_out=jnp.asarray(flip))
+        got = np.clip(np.round(np.asarray(
+            D.apply_resample(jnp.asarray(base), my, mx))), 0, 255)
+        for b in range(B):
+            n, c0, cl = int(new_len[b]), int(crop0[b]), int(crop_len[b])
+            w = np.asarray(Image.fromarray(
+                base[b].astype(np.uint8)).resize((n, n), Image.BILINEAR),
+                np.float32)[c0:c0 + cl, c0:c0 + cl]
+            if flip[b]:
+                w = w[:, ::-1]
+            d = np.abs(got[b, :cl, :cl] - w)
+            assert d.max() <= 2.0, (b, d.max())
+
+
+class TestSegDeviceAugment:
+    SRC = 128
+
+    def _fixtures(self, B=6):
+        Sz = self.SRC
+        resize_kw = dict(img_scale=(Sz, Sz), ratio_range=(0.5, 2.0))
+        crop_kw = dict(crop_size=(Sz, Sz), cat_max_ratio=0.75,
+                       ignore_index=255)
+        flip_kw = dict(prob=0.5)
+        pad_kw = dict(size=(Sz, Sz), pad_val=0, seg_pad_val=5)
+        host_tail = [P.Resize(**resize_kw), P.RandomCrop(**crop_kw),
+                     P.RandomFlip(**flip_kw), P.PhotoMetricDistortion(),
+                     P.Pad(**pad_kw)]
+        planner = P.SegDeviceAugmentPlanner(
+            resize=resize_kw, crop=crop_kw, flip=flip_kw,
+            photometric={}, pad=pad_kw, src_size=Sz)
+        imgs = _smooth_images(b=B, size=Sz, seed=11)
+        label = ((np.arange(Sz)[:, None] // 16 +
+                  np.arange(Sz)[None, :] // 16) % 5).astype(np.uint8)
+        samples, hosts = [], []
+        for i in range(B):
+            s = planner({"img": imgs[i].copy(),
+                         "gt_semantic_seg": label.copy(),
+                         "ori_shape": (Sz, Sz, 3)},
+                        np.random.Generator(np.random.PCG64(400 + i)))
+            samples.append(s)
+            h = {"img": imgs[i].copy(), "gt_semantic_seg": label.copy()}
+            rh = np.random.Generator(np.random.PCG64(400 + i))
+            for t in host_tail:
+                h = t(h, rh)
+            hosts.append(h)
+        return samples, hosts
+
+    def test_planner_plus_device_equals_host_pipeline(self):
+        from rscotr_tpu.data.loader import collate_seg_aug
+        samples, hosts = self._fixtures()
+        batch = collate_seg_aug(samples)
+        # labels (host-side in both paths) must be BIT-identical
+        want_seg = np.stack([h["gt_semantic_seg"] for h in hosts])
+        assert np.array_equal(batch["gt_semantic_seg"],
+                              want_seg.astype(np.int32))
+        aug = {k[len("aug_"):]: jnp.asarray(v) for k, v in batch.items()
+               if k.startswith("aug_")}
+        cfg = D.SegDeviceAugmentConfig(src_size=self.SRC,
+                                       out_size=self.SRC)
+        got = np.asarray(D.seg_device_augment(
+            jnp.asarray(batch["img"]), aug, cfg))
+        want = np.stack([h["img"] for h in hosts])
+        hw = batch["img_hw"]
+        for i in range(len(samples)):
+            ch, cw = int(hw[i, 0]), int(hw[i, 1])
+            d = np.abs(got[i, :ch, :cw] - want[i, :ch, :cw])
+            # PIL bilinear fixed-point + f32 HSV: sub-level mean,
+            # no pixel further than a hue-quantum step
+            assert d.mean() < 0.6, (i, d.mean())
+            assert (d > 5).mean() < 0.002, (i, (d > 5).mean())
+
+    def test_step_masks_pad_region(self):
+        """After normalize the pad region must be exactly 0 (the host's
+        Normalize-then-Pad(0) zeros), even though the raw device output
+        picks up photometric adds there."""
+        from rscotr_tpu.data.loader import collate_seg_aug
+        samples, _ = self._fixtures(B=4)
+        batch = collate_seg_aug(samples)
+        hw = batch["img_hw"]
+        if not (hw < self.SRC).any():
+            pytest.skip("no padded sample drawn")
+        aug = {k[len("aug_"):]: jnp.asarray(v) for k, v in batch.items()
+               if k.startswith("aug_")}
+        cfg = D.SegDeviceAugmentConfig(src_size=self.SRC,
+                                       out_size=self.SRC)
+        img = D.seg_device_augment(jnp.asarray(batch["img"]), aug, cfg)
+        mean = jnp.asarray((123.675, 116.28, 103.53))
+        std = jnp.asarray((58.395, 57.12, 57.375))
+        x = (img - mean) / std
+        row = jnp.arange(self.SRC)[None, :] < hw[:, 0][:, None]
+        col = jnp.arange(self.SRC)[None, :] < hw[:, 1][:, None]
+        keep = (row[:, :, None] & col[:, None, :])[..., None]
+        x = jnp.where(keep, x, 0.0)
+        x = np.asarray(x)
+        for i in range(len(samples)):
+            ch, cw = int(hw[i, 0]), int(hw[i, 1])
+            if ch < self.SRC:
+                assert np.abs(x[i, ch:, :]).max() == 0
+            if cw < self.SRC:
+                assert np.abs(x[i, :, cw:]).max() == 0
+
+    def test_loader_integration_and_train_step(self):
+        from rscotr_tpu.data import build_dataloaders
+        from rscotr_tpu.data.datasets import SyntheticSegDataset
+        Sz = self.SRC
+        ds = SyntheticSegDataset(length=4, img_size=Sz, num_classes=5)
+        ds.pipeline_cfg = [
+            dict(type="Resize", img_scale=(Sz, Sz),
+                 ratio_range=(0.5, 2.0)),
+            dict(type="RandomCrop", crop_size=(Sz, Sz),
+                 cat_max_ratio=0.75, ignore_index=255),
+            dict(type="RandomFlip", prob=0.5),
+            dict(type="PhotoMetricDistortion"),
+            dict(type="Normalize"),
+            dict(type="Pad", size=(Sz, Sz), pad_val=0, seg_pad_val=5),
+        ]
+        ds.task = "seg"
+        data_cfg = {"p": {"task": "seg",
+                          "data": {"samples_per_gpu": 2},
+                          "loader": {"seg_device_augment": True,
+                                     "seg_size": Sz}}}
+        dl = build_dataloaders({"p": ds}, data_cfg, train=True,
+                               num_replicas=1, rank=0,
+                               num_threads=1)["p"]
+        batch = next(iter(dl))
+        assert batch["img"].dtype == np.uint8
+        assert batch["img"].shape == (2, Sz, Sz, 3)
+        assert batch["gt_semantic_seg"].shape == (2, Sz, Sz)
+        assert "aug_pm_hsv_on" in batch
+
+        import flax.linen as nn
+
+        class MiniSeg(nn.Module):
+            @nn.compact
+            def forward_seg(self, img, deterministic=True):
+                x = nn.Conv(8, (3, 3), strides=2)(img)
+                return nn.Conv(5, (1, 1))(x)
+
+            def __call__(self, img, deterministic=True):
+                return self.forward_seg(img, deterministic)
+
+        from rscotr_tpu.engine.optimizer import build_optimizer
+        from rscotr_tpu.engine.train_step import (TrainStepConfig,
+                                                  make_train_step)
+        model = MiniSeg()
+        params = model.init(jax.random.key(0), jnp.zeros((1, Sz, Sz, 3)))
+        cfg = TrainStepConfig(
+            task_weight={"seg": 1.0}, seg_ignore_index=5,
+            img_norm=((123.675, 116.28, 103.53),
+                      (58.395, 57.12, 57.375)),
+            seg_device_aug=D.SegDeviceAugmentConfig(src_size=Sz,
+                                                    out_size=Sz))
+        opt = build_optimizer(dict(type="AdamW", lr=1e-3),
+                              params["params"],
+                              lr_config=dict(policy="fixed"))
+        step = make_train_step(model, opt, "seg", cfg, donate=False)
+        p2, o2, lv = step(params, opt.init(params["params"]),
+                          {k: jnp.asarray(v) for k, v in batch.items()},
+                          jax.random.key(1))
+        assert np.isfinite(float(lv["loss"]))
