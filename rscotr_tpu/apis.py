@@ -114,7 +114,8 @@ def make_step_config(cfg) -> TrainStepConfig:
         cdn=cdn_cfg, det=det_cfg,
         img_norm=derive_img_norm(cfg),
         device_aug=derive_device_aug(cfg),
-        seg_device_aug=derive_seg_device_aug(cfg))
+        seg_device_aug=derive_seg_device_aug(cfg),
+        det_device_aug=derive_det_device_aug(cfg))
 
 
 def derive_device_aug(cfg):
@@ -132,6 +133,23 @@ def derive_device_aug(cfg):
             list(dcfg.get("pipeline", []) or []),
             src_size=opts.get("cls_src_size", 256))
         return DeviceAugmentConfig(**kw)
+    return None
+
+
+def derive_det_device_aug(cfg):
+    """DetDeviceAugmentConfig when a det loader opts into device-side
+    augmentation (loader.det_device_augment)."""
+    for entry in cfg.data.values():
+        opts = dict(entry.get("loader", {}))
+        if entry["task"] != "det" or not opts.get("det_device_augment"):
+            continue
+        from rscotr_tpu.ops.device_augment import DetDeviceAugmentConfig
+        src_hw = opts.get("det_src_hw")
+        if src_hw is None:
+            bh = opts.get("det_bucket_hw", (800, 800))
+            src_hw = max(bh, key=lambda b: b[0] * b[1]) if \
+                isinstance(bh[0], (tuple, list)) else bh
+        return DetDeviceAugmentConfig(src_hw=tuple(src_hw))
     return None
 
 

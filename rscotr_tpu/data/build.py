@@ -136,6 +136,23 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
             pcfg, img_norm, _ = split_device_augment_cfg(
                 pcfg, src_size=opts.get("cls_src_size", 256))
             collate = collate_cls_aug
+        elif train and ds.task == "det" and \
+                opts.get("det_device_augment", False):
+            # resize/crop/flip pixel work moves into the jitted det
+            # step; the host draws parameters and does the box math
+            from rscotr_tpu.data.loader import collate_det_aug
+            from rscotr_tpu.data.pipelines import \
+                split_det_device_augment_cfg
+            src_hw = opts.get("det_src_hw")
+            if src_hw is None:
+                bh = opts.get("det_bucket_hw", (800, 800))
+                src_hw = max(bh, key=lambda b: b[0] * b[1]) if \
+                    isinstance(bh[0], (tuple, list)) else bh
+            pcfg, img_norm, _ = split_det_device_augment_cfg(
+                pcfg, src_hw=tuple(src_hw))
+            collate = (lambda samples: collate_det_aug(
+                samples, bucket_hw=opts.get("det_bucket_hw", (800, 800)),
+                max_gt=opts.get("max_gt", 100)))
         elif train and ds.task == "seg" and \
                 opts.get("seg_device_augment", False):
             # ratio-resize/crop/flip/photometric pixel work moves into

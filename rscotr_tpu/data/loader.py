@@ -127,6 +127,50 @@ def collate_det(samples: List[dict], bucket_hw, max_gt: int
             "gt_valid": gt_valid}
 
 
+_DET_AUG_KEYS = ("aug_src_h", "aug_src_w", "aug_flip_src",
+                 "aug_flip_out", "aug_s1_h", "aug_s1_w", "aug_crop_y",
+                 "aug_crop_x", "aug_crop_h", "aug_crop_w", "aug_s2_h",
+                 "aug_s2_w")
+
+
+def collate_det_aug(samples: List[dict], bucket_hw, max_gt: int
+                    ) -> Dict[str, np.ndarray]:
+    """Device-augment mode: raw uint8 source images (already padded to
+    the static source bucket by DetDeviceAugmentPlanner) + ``aug_*``
+    geometric programs; the pixel work runs inside the jitted det step.
+    The OUTPUT bucket (stage-2 sizes decide it) rides along as the
+    zero-width ``out_template`` leaf — a static shape the compiled step
+    reads, costing nothing to transfer."""
+    B = len(samples)
+    hmax = max(int(s["aug_s2_h"]) for s in samples)
+    wmax = max(int(s["aug_s2_w"]) for s in samples)
+    H, W = select_det_bucket(bucket_hw, hmax, wmax)
+    img_hw = np.zeros((B, 2), np.int32)
+    scale_factor = np.ones((B, 4), np.float32)
+    gt_bboxes = np.zeros((B, max_gt, 4), np.float32)
+    gt_labels = np.zeros((B, max_gt), np.int32)
+    gt_valid = np.zeros((B, max_gt), bool)
+    for i, s in enumerate(samples):
+        img_hw[i] = (int(s["aug_s2_h"]), int(s["aug_s2_w"]))
+        scale_factor[i] = s.get("scale_factor", np.ones(4, np.float32))
+        boxes = s.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        labels = s.get("gt_labels", np.zeros((0,), np.int32))
+        n = min(len(boxes), max_gt)
+        gt_bboxes[i, :n] = boxes[:n]
+        gt_labels[i, :n] = labels[:n]
+        gt_valid[i, :n] = True
+    batch = {
+        "img": np.stack([s["img"] for s in samples]).astype(np.uint8),
+        "out_template": np.zeros((B, H, W, 0), np.float32),
+        "img_hw": img_hw, "scale_factor": scale_factor,
+        "gt_bboxes": gt_bboxes, "gt_labels": gt_labels,
+        "gt_valid": gt_valid,
+    }
+    for k in _DET_AUG_KEYS:
+        batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+    return batch
+
+
 def collate_seg(samples: List[dict], size: int = 512,
                 seg_pad_val: int = 255) -> Dict[str, np.ndarray]:
     """``seg_pad_val`` follows the reference's Pad(seg_pad_val=...) —

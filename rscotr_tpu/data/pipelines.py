@@ -770,6 +770,207 @@ class SegDeviceAugmentPlanner:
         return results
 
 
+@PIPELINES.register_module(name="DetDeviceAugmentPlanner")
+class DetDeviceAugmentPlanner:
+    """Parameter-only twin of the det train augment tail.
+
+    Replaces the geometric ops ([Resize, RandomFlip] in the MTL det
+    pipeline; [RandomFlip, AutoAugment{[Resize] | [Resize, RandomCrop,
+    Resize]}] in the single-task DINO pipeline) when
+    ``loader.det_device_augment`` is set. The host walks the configured
+    ops IN ORDER drawing the same rng stream (shared draw_new_hw /
+    _crop_box / _crop_bboxes methods) and does all box/meta math; the
+    image ships as raw uint8 + a normalized two-stage geometric program
+    (resize -> crop -> resize, identity-filled) that
+    ``ops/device_augment.det_device_augment`` executes batched on TPU.
+
+    Flip handling: a RandomFlip BEFORE the first resize becomes a
+    source mirror inside stage 1 (flip commutes with a full-frame
+    separable resize exactly); AFTER the last resize it becomes an
+    output mirror inside stage 2. A flip between two resizes is not a
+    valid normalization and asserts."""
+
+    def __init__(self, ops, src_hw=(800, 800), max_hw=None):
+        self.src_hw = tuple(src_hw)
+        self.max_hw = tuple(max_hw) if max_hw else self.src_hw
+        self.ops = []
+        for c in ops:
+            c = dict(c)
+            t = c.pop("type")
+            if t == "Resize":
+                self.ops.append(Resize(**c))
+            elif t == "RandomFlip":
+                self.ops.append(RandomFlip(**c))
+            elif t == "AutoAugment":
+                branches = []
+                for pol in c["policies"]:
+                    branch = []
+                    for sub in pol:
+                        sub = dict(sub)
+                        st = sub.pop("type")
+                        assert st in ("Resize", "RandomCrop"), (
+                            f"det_device_augment: unsupported AutoAugment "
+                            f"op {st!r}")
+                        branch.append(Resize(**sub) if st == "Resize"
+                                      else RandomCrop(**sub))
+                    branches.append(branch)
+                self.ops.append(("autoaug", branches))
+            else:
+                raise AssertionError(
+                    f"det_device_augment: unsupported op {t!r}")
+
+    @staticmethod
+    def _flip_boxes(results, w):
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"].copy()
+            b[:, [0, 2]] = w - results["gt_bboxes"][:, [2, 0]]
+            results["gt_bboxes"] = b
+
+    @staticmethod
+    def _scale_boxes(results, sf):
+        results["scale_factor"] = np.asarray(
+            sf * results.get("scale_factor", 1.0), np.float32)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            results["gt_bboxes"] = results["gt_bboxes"] * sf
+
+    def _walk(self, ops, results, rng, hw, prog):
+        """Replicate the host ops' draw order + box math, recording the
+        geometric program. Returns the current (h, w)."""
+        h, w = hw
+        for op in ops:
+            if isinstance(op, RandomFlip):
+                do = bool(rng.uniform() < op.prob) if op.prob else False
+                assert op.direction == "horizontal"
+                results["flip"] = do
+                if do:
+                    self._flip_boxes(results, w)
+                    if not prog["stages"]:
+                        prog["flip_src"] = not prog["flip_src"]
+                    else:
+                        assert prog["n_resize"] == len(prog["stages"]), \
+                            "flip between resizes is unsupported"
+                        prog["flip_out"] = not prog.get("flip_out", False)
+            elif isinstance(op, Resize):
+                new_hw = op.draw_new_hw(h, w, rng)
+                sf = np.array([new_hw[1] / w, new_hw[0] / h,
+                               new_hw[1] / w, new_hw[0] / h], np.float32)
+                self._scale_boxes(results, sf)
+                assert not prog.get("flip_out"), \
+                    "flip between resizes is unsupported"
+                prog["stages"].append(("resize", new_hw))
+                prog["n_resize"] = prog.get("n_resize", 0) + 1
+                h, w = new_hw
+            elif isinstance(op, RandomCrop):
+                # mirror of RandomCrop.__call__ for the det/bbox path
+                box = op._crop_box((h, w, 3), rng)
+                ok = True
+                if "gt_bboxes" in results:
+                    ok = False
+                    for _ in range(10):
+                        if op._crop_bboxes(results, box):
+                            ok = True
+                            break
+                        box = op._crop_box((h, w, 3), rng)
+                if ok:
+                    y, x, ch, cw = box
+                    prog["stages"].append(("crop", (y, x, ch, cw)))
+                    h, w = ch, cw
+            elif isinstance(op, tuple) and op[0] == "autoaug":
+                branches = op[1]
+                i = int(rng.integers(0, len(branches)))
+                h, w = self._walk(branches[i], results, rng, (h, w), prog)
+            else:  # pragma: no cover
+                raise AssertionError(op)
+        return h, w
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        h0, w0 = img.shape[:2]
+        sh, sw = self.src_hw
+        assert h0 <= sh and w0 <= sw, (
+            f"source image {h0}x{w0} exceeds det_src_hw {self.src_hw}")
+        src = np.zeros((sh, sw, 3), np.uint8)
+        src[:h0, :w0] = np.clip(np.round(img), 0, 255).astype(np.uint8)
+        results["img"] = src
+
+        prog = {"stages": [], "flip_src": False, "flip_out": False,
+                "n_resize": 0}
+        results.setdefault("flip", False)
+        h, w = self._walk(self.ops, results, rng, (h0, w0), prog)
+
+        # normalize to the two-stage program: R -> C -> R
+        s1 = crop = s2 = None
+        for kind, val in prog["stages"]:
+            if kind == "resize":
+                if s1 is None:
+                    s1 = val
+                elif s2 is None:
+                    s2 = val
+                else:
+                    raise AssertionError(
+                        "det_device_augment supports at most 2 resizes")
+            else:
+                assert s1 is not None and crop is None and s2 is None, \
+                    "det_device_augment supports one crop between resizes"
+                crop = val
+        if s1 is None:
+            s1 = (h0, w0)
+        if crop is None:
+            crop = (0, 0, s1[0], s1[1])
+        if s2 is None:
+            s2 = (crop[2], crop[3])
+        assert s1[0] <= self.src_hw[0] and s1[1] <= self.src_hw[1], (
+            f"stage-1 size {s1} exceeds the mid buffer {self.src_hw}; "
+            "raise loader.det_src_hw")
+        assert (h, w) == s2
+
+        results["img_shape"] = (h, w, 3)
+        results["aug_src_h"] = np.int32(h0)
+        results["aug_src_w"] = np.int32(w0)
+        results["aug_flip_src"] = bool(prog["flip_src"])
+        results["aug_flip_out"] = bool(prog["flip_out"])
+        results["aug_s1_h"] = np.int32(s1[0])
+        results["aug_s1_w"] = np.int32(s1[1])
+        results["aug_crop_y"] = np.int32(crop[0])
+        results["aug_crop_x"] = np.int32(crop[1])
+        results["aug_crop_h"] = np.int32(crop[2])
+        results["aug_crop_w"] = np.int32(crop[3])
+        results["aug_s2_h"] = np.int32(s2[0])
+        results["aug_s2_w"] = np.int32(s2[1])
+        return results
+
+
+def split_det_device_augment_cfg(cfgs: Sequence[dict],
+                                 src_hw=(800, 800)):
+    """Rewrite a det train pipeline for device-side augmentation: the
+    geometric tail becomes one DetDeviceAugmentPlanner cfg; Normalize
+    moves to the device; Pad must be a no-op (size_divisor<=1 — the
+    static bucket pad replaces it, as in the host path). Returns
+    (new_cfgs, img_norm, det_device_aug_cfg_kwargs)."""
+    head, tail, norm = [], [], None
+    for c in cfgs:
+        t = c.get("type")
+        if t in ("Resize", "RandomFlip", "AutoAugment"):
+            tail.append(dict(c))
+        elif t == "Normalize":
+            norm = {"mean": list(c.get("mean", DEFAULT_MEAN)),
+                    "std": list(c.get("std", DEFAULT_STD))}
+        elif t == "Pad":
+            assert c.get("size_divisor", 1) <= 1 and not c.get("size"), (
+                "det_device_augment: Pad beyond the static bucket is "
+                "unsupported (reference det configs use size_divisor=1)")
+        else:
+            assert not tail, (
+                f"op {t!r} after the geometric tail started — det device "
+                "augment supports the reference det pipeline orders")
+            head.append(c)
+    assert tail, "det_device_augment found no geometric ops"
+    planner_cfg = dict(type="DetDeviceAugmentPlanner", ops=tail,
+                       src_hw=tuple(src_hw))
+    dev_cfg = dict(src_hw=tuple(src_hw))
+    return head + [planner_cfg], norm, dev_cfg
+
+
 def split_seg_device_augment_cfg(cfgs: Sequence[dict],
                                  src_size: int = 512):
     """Rewrite a seg train pipeline for device-side augmentation: the

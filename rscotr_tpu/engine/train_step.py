@@ -189,7 +189,26 @@ def seg_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
 def det_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
                 train: bool = True):
     img_hw = batch["img_hw"]
-    img = device_normalize(batch["img"], cfg.img_norm, img_hw)
+    if train and cfg.det_device_aug is not None and "aug_s2_h" in batch:
+        # on-device augment stage (flip + resize/crop/resize on raw
+        # 0..255 inside the static output bucket), then normalize +
+        # pad-mask (ops/device_augment.det_device_augment)
+        from rscotr_tpu.ops.device_augment import det_device_augment
+        aug = {k[len("aug_"):]: batch[k] for k in batch
+               if k.startswith("aug_")}
+        out_hw = batch["out_template"].shape[1:3]
+        img = det_device_augment(batch["img"], aug, out_hw,
+                                 cfg.det_device_aug)
+        mean, std = cfg.img_norm if cfg.img_norm is not None else (
+            (123.675, 116.28, 103.53), (58.395, 57.12, 57.375))
+        img = (img - jnp.asarray(mean)) / jnp.asarray(std)
+        B, H, W, _ = img.shape
+        row = jnp.arange(H)[None, :] < img_hw[:, 0][:, None]
+        col = jnp.arange(W)[None, :] < img_hw[:, 1][:, None]
+        keep = (row[:, :, None] & col[:, None, :])[..., None]
+        img = jnp.where(keep, img, 0.0)
+    else:
+        img = device_normalize(batch["img"], cfg.img_norm, img_hw)
     gt_bboxes = batch["gt_bboxes"]
     gt_labels = batch["gt_labels"]
     gt_valid = batch["gt_valid"]

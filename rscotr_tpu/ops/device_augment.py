@@ -645,6 +645,71 @@ def seg_device_augment(img, aug, cfg: SegDeviceAugmentConfig):
     return photometric_distortion(out, pm)
 
 
+# ---------------------------------------------------------------------------
+# det train augment stage (flip + [AutoAugment] resize / crop / resize)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DetDeviceAugmentConfig:
+    src_hw: Tuple[int, int] = (800, 800)   # static source bucket (DIOR)
+    mid_hw: Optional[Tuple[int, int]] = None   # stage-1 buffer (<= src)
+
+    @property
+    def mid(self):
+        return self.mid_hw or self.src_hw
+
+
+def det_device_augment(img, aug, out_hw, cfg: DetDeviceAugmentConfig):
+    """The det train pipeline's pixel work on device, batched.
+
+    Host op orders covered (DetDeviceAugmentPlanner normalizes both to
+    one two-stage program):
+    * MTL det: Resize(keep_ratio) -> RandomFlip
+      (configs/_base_/det/dior.py, mirroring
+      /root/reference/configs/_base_/det/dior.py:11-20)
+    * single-task DINO: RandomFlip -> AutoAugment{[Resize] |
+      [Resize, RandomCrop, Resize]}
+      (/root/reference/configs/det/dino_4scale_r50_1x1_50e_dior.py:110-150)
+
+    Program: stage-1 PIL-bilinear resize of the valid source (with a
+    pre-resize flip folded in as a source mirror — flip commutes with a
+    full-frame separable resize exactly), uint8 rounding (the host's
+    PIL boundary), then stage-2 resize of a crop window of the stage-1
+    result (identity window/scale when the branch had no second resize;
+    a post-resize flip folds in as an output mirror). Box/meta math runs
+    entirely host-side in the planner. Normalize + pad-masking stay with
+    the caller (img_hw = final image size).
+
+    img: (B, srcH, srcW, 3) uint8 (valid region [0, src_h)x[0, src_w)).
+    aug keys (B,) each: src_h/w, flip_src, flip_out, s1_h/w, crop_y/x,
+    crop_h/w, s2_h/w. out_hw: static output bucket (from the batch's
+    zero-width ``out_template`` leaf). Returns (B, outH, outW, 3)
+    float32 raw 0..255, zero outside the valid region."""
+    srcH, srcW = img.shape[1], img.shape[2]
+    midH, midW = cfg.mid
+    outH, outW = out_hw
+    x = img.astype(jnp.float32)
+    B = x.shape[0]
+    zeros = jnp.zeros((B,), jnp.int32)
+    my1 = pil_resample_matrix(
+        midH, srcH, win_start=zeros, win_size=aug["src_h"], row0=zeros,
+        out_len=aug["s1_h"], n_valid=aug["s1_h"], kernel="bilinear")
+    mx1 = pil_resample_matrix(
+        midW, srcW, win_start=zeros, win_size=aug["src_w"], row0=zeros,
+        out_len=aug["s1_w"], n_valid=aug["s1_w"], kernel="bilinear",
+        mirror_src=aug["flip_src"])
+    x = jnp.clip(jnp.round(apply_resample(x, my1, mx1)), 0.0, 255.0)
+    my2 = pil_resample_matrix(
+        outH, midH, win_start=aug["crop_y"], win_size=aug["crop_h"],
+        row0=zeros, out_len=aug["s2_h"], n_valid=aug["s2_h"],
+        kernel="bilinear")
+    mx2 = pil_resample_matrix(
+        outW, midW, win_start=aug["crop_x"], win_size=aug["crop_w"],
+        row0=zeros, out_len=aug["s2_w"], n_valid=aug["s2_w"],
+        kernel="bilinear", mirror_out=aug["flip_out"])
+    return jnp.clip(jnp.round(apply_resample(x, my2, mx2)), 0.0, 255.0)
+
+
 def cls_device_augment(img, aug, cfg: DeviceAugmentConfig,
                        noise_key=None):
     """The full cls train augment stage on device.

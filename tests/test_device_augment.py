@@ -567,3 +567,144 @@ class TestSegDeviceAugment:
                           {k: jnp.asarray(v) for k, v in batch.items()},
                           jax.random.key(1))
         assert np.isfinite(float(lv["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# det on-device augmentation (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+class TestDetDeviceAugment:
+    SRC = 160   # stands in for DIOR's 800 (keeps CPU runtime sane)
+
+    # reference pipeline shapes scaled by 160/800 (= /5):
+    MTL_TAIL = [
+        dict(type="Resize", img_scale=(266, 160), keep_ratio=True),
+        dict(type="RandomFlip", flip_ratio=0.5),
+        dict(type="Normalize"),
+    ]
+    SCALES1 = [(96, 266), (102, 266), (109, 266), (115, 266),
+               (122, 266), (128, 266), (134, 266), (141, 266),
+               (147, 266), (154, 266), (160, 266)]
+    DINO_TAIL = [
+        dict(type="RandomFlip", flip_ratio=0.5),
+        dict(type="AutoAugment", policies=[
+            [dict(type="Resize", img_scale=SCALES1,
+                  multiscale_mode="value", keep_ratio=True)],
+            [dict(type="Resize",
+                  img_scale=[(80, 840), (100, 840), (120, 840)],
+                  multiscale_mode="value", keep_ratio=True),
+             dict(type="RandomCrop", crop_type="absolute_range",
+                  crop_size=(76, 120), allow_negative_crop=True),
+             dict(type="Resize", img_scale=SCALES1,
+                  multiscale_mode="value", override=True,
+                  keep_ratio=True)],
+        ]),
+        dict(type="Normalize"),
+        dict(type="Pad", size_divisor=1),
+    ]
+
+    def _run(self, tail_cfgs, n=10, seed0=700):
+        from rscotr_tpu.data.loader import collate_det_aug
+        Sz = self.SRC
+        host_tail = P.build_pipeline(
+            [c for c in tail_cfgs if c["type"] != "Normalize"])
+        planner_cfgs, norm, devkw = P.split_det_device_augment_cfg(
+            tail_cfgs, src_hw=(Sz, Sz))
+        assert norm is not None
+        planner = P.build_pipeline(planner_cfgs)[0]
+        cfg = D.DetDeviceAugmentConfig(**devkw)
+        imgs = _smooth_images(b=n, size=Sz, seed=21)
+        samples, hosts = [], []
+        for k in range(n):
+            boxes = np.array([[10, 12, 60, 80], [40, 50, 150, 140],
+                              [100, 5, 130, 40]], np.float32)
+            labels = np.array([1, 2, 3], np.int32)
+            s = planner({"img": imgs[k].copy(),
+                         "gt_bboxes": boxes.copy(),
+                         "gt_labels": labels.copy(),
+                         "ori_shape": (Sz, Sz, 3)},
+                        np.random.Generator(np.random.PCG64(seed0 + k)))
+            samples.append(s)
+            h = {"img": imgs[k].copy(), "gt_bboxes": boxes.copy(),
+                 "gt_labels": labels.copy()}
+            rh = np.random.Generator(np.random.PCG64(seed0 + k))
+            hosts.append(P.run_pipeline(host_tail, h, rh))
+        batch = collate_det_aug(samples, bucket_hw=(Sz, Sz), max_gt=8)
+        aug = {k[len("aug_"):]: jnp.asarray(v)
+               for k, v in batch.items() if k.startswith("aug_")}
+        got = np.asarray(D.det_device_augment(
+            jnp.asarray(batch["img"]), aug,
+            batch["out_template"].shape[1:3], cfg))
+        return samples, hosts, batch, got
+
+    @pytest.mark.parametrize("tail", ["MTL_TAIL", "DINO_TAIL"])
+    def test_box_and_meta_math_bit_identical(self, tail):
+        samples, hosts, _, _ = self._run(getattr(self, tail))
+        for s, h in zip(samples, hosts):
+            assert np.array_equal(
+                np.asarray(s["gt_bboxes"], np.float32),
+                np.asarray(h["gt_bboxes"], np.float32))
+            assert np.array_equal(np.asarray(s["gt_labels"]),
+                                  np.asarray(h["gt_labels"]))
+            assert tuple(s["img_shape"][:2]) == tuple(h["img"].shape[:2])
+            assert np.allclose(s.get("scale_factor", np.ones(4)),
+                               h.get("scale_factor", np.ones(4)))
+            assert s["flip"] == h.get("flip", False)
+
+    @pytest.mark.parametrize("tail,mean_tol,max_tol", [
+        # identity-scale resize (DIOR 800x800 under (1333,800)): exact
+        ("MTL_TAIL", 1e-6, 0.0),
+        # real resizes/crops: PIL uint8 fixed-point coefficient noise
+        ("DINO_TAIL", 0.5, 3.0),
+    ])
+    def test_pixels_match_host(self, tail, mean_tol, max_tol):
+        _, hosts, batch, got = self._run(getattr(self, tail), n=12)
+        H, W = got.shape[1:3]
+        for i, h in enumerate(hosts):
+            hh, ww = h["img"].shape[:2]
+            d = np.abs(got[i, :hh, :ww] - h["img"])
+            assert d.mean() <= mean_tol, (i, d.mean())
+            assert d.max() <= max_tol, (i, d.max())
+            if hh < H:
+                assert np.abs(got[i, hh:]).max() == 0
+            if ww < W:
+                assert np.abs(got[i, :, ww:]).max() == 0
+
+    def test_loader_integration_and_train_step(self):
+        from rscotr_tpu.data import build_dataloaders
+        from rscotr_tpu.data.datasets import SyntheticDetDataset
+        Sz = self.SRC
+        ds = SyntheticDetDataset(length=4, img_size=Sz, num_classes=7,
+                                 max_boxes=5)
+        ds.pipeline_cfg = list(self.MTL_TAIL)
+        ds.task = "det"
+        data_cfg = {"d": {"task": "det",
+                          "data": {"samples_per_gpu": 2},
+                          "loader": {"det_device_augment": True,
+                                     "det_bucket_hw": (Sz, Sz),
+                                     "max_gt": 8}}}
+        dl = build_dataloaders({"d": ds}, data_cfg, train=True,
+                               num_replicas=1, rank=0,
+                               num_threads=1)["d"]
+        batch = next(iter(dl))
+        assert batch["img"].dtype == np.uint8
+        assert batch["img"].shape == (2, Sz, Sz, 3)
+        assert batch["out_template"].shape == (2, Sz, Sz, 0)
+        assert "aug_s2_h" in batch and batch["aug_s2_h"].min() > 0
+
+        # det_loss_fn needs the real CDN/loss machinery — covered by the
+        # tiny-config e2e (test_train_smoke + devaug config); here just
+        # assert the device stage runs under jit on the batch leaves
+        from rscotr_tpu.ops.device_augment import (DetDeviceAugmentConfig,
+                                                   det_device_augment)
+        aug = {k[len("aug_"):]: jnp.asarray(v)
+               for k, v in batch.items() if k.startswith("aug_")}
+
+        @jax.jit
+        def stage(img, aug):
+            return det_device_augment(
+                img, aug, (Sz, Sz), DetDeviceAugmentConfig(src_hw=(Sz, Sz)))
+
+        out = stage(jnp.asarray(batch["img"]), aug)
+        assert out.shape == (2, Sz, Sz, 3)
+        assert bool(jnp.isfinite(out).all())
