@@ -20,7 +20,9 @@ data = dict(
     resisc=dict(task="cls",
                 config="configs/_base_/cls/resisc_swin_224.py",
                 data=dict(samples_per_gpu=16),
-                loader=dict(cls_size=224)),
+                loader=dict(cls_size=224, device_preprocess=True,
+                            cls_device_augment=True,
+                            cls_src_size=256)),
 )
 
 checkpoint_config = dict(interval=50)

@@ -63,7 +63,8 @@ train_pipeline = [
 data = dict(
     dior=dict(data=dict(train=dict(pipeline=train_pipeline)),
               # largest train shape after AutoAugment is 800x1333 keep-ratio
-              loader=dict(det_bucket_hw=(800, 1344), max_gt=100)),
+              loader=dict(det_bucket_hw=(800, 1344), max_gt=100,
+                          det_src_hw=(800, 800))),
 )
 
 optimizer = dict(lr=5e-5)

@@ -22,7 +22,9 @@ data = dict(
     dior=dict(task="det",
               config="configs/_base_/det/dior.py",
               data=dict(samples_per_gpu=1),
-              loader=dict(det_bucket_hw=(800, 800), max_gt=100)),
+              loader=dict(det_bucket_hw=(800, 800), max_gt=100,
+                          device_preprocess=True,
+                          det_device_augment=True)),
 )
 
 optimizer = dict(type="AdamW", lr=1e-4, weight_decay=0.0001,

@@ -7,7 +7,8 @@ data = dict(
         task="seg",
         config="configs/_base_/seg/potsdam_IRRG_all.py",
         data=dict(samples_per_gpu=2),
-        loader=dict(seg_size=512, seg_pad_val=5)))
+        loader=dict(seg_size=512, seg_pad_val=5,
+                    device_preprocess=True, seg_device_augment=True)))
 
 optimizer = dict(
     _delete_=True,

@@ -123,25 +123,33 @@ model = dict(
 )
 
 # data: two-level composition — per-dataset config files inlined by
-# load_data_cfg; loader: TPU static-shape options (det bucket / max_gt)
+# load_data_cfg; loader: TPU static-shape options (det bucket / max_gt).
+# All three train augment tails run ON DEVICE by default
+# ({cls,det,seg}_device_augment — the host only draws parameters and
+# handles labels/boxes; measured 1.71x MTL throughput for the cls tail
+# alone, PERF.md). Opt back into host pixel augmentation with e.g.
+# --cfg-options data.resisc.loader.cls_device_augment=False.
+# device_preprocess stays on for the host-pixel and eval paths (uint8
+# H2D + on-device Normalize).
 data = dict(
     resisc=dict(
         task="cls",
         config="configs/_base_/cls/resisc_swin_224.py",
         data=dict(samples_per_gpu=16),
-        loader=dict(cls_size=224, device_preprocess=True)),
+        loader=dict(cls_size=224, device_preprocess=True,
+                    cls_device_augment=True, cls_src_size=256)),
     dior=dict(
         task="det",
         config="configs/_base_/det/dior.py",
         data=dict(samples_per_gpu=1),
         loader=dict(det_bucket_hw=(800, 800), max_gt=100,
-                    device_preprocess=True)),
+                    device_preprocess=True, det_device_augment=True)),
     potsdam=dict(
         task="seg",
         config="configs/_base_/seg/potsdam_IRRG_all.py",
         data=dict(samples_per_gpu=2),
         loader=dict(seg_size=512, seg_pad_val=5,
-                    device_preprocess=True)),
+                    device_preprocess=True, seg_device_augment=True)),
 )
 
 optimizer = dict(
@@ -154,7 +162,11 @@ optimizer = dict(
 optimizer_config = dict(grad_clip=dict(max_norm=0.1, norm_type=2))
 
 lr_config = dict(policy="step", step=[240000, 285000])
-runner = dict(type="IterBasedRunner", max_iters=300000)
+# steps_per_dispatch: K same-task steps per jitted lax.scan dispatch —
+# amortizes the per-iteration host dispatch (pytree marshalling) that
+# dominates on slow hosts (PERF.md; K=1 restores exact per-iter mode)
+runner = dict(type="IterBasedRunner", max_iters=300000,
+              steps_per_dispatch=8)
 checkpoint_config = dict(interval=100000)
 log_config = dict(interval=300)
 

@@ -21,7 +21,27 @@ cls_train_pipeline = [
     dict(type="Normalize", **img_norm_cfg),
 ]
 
+det_train_pipeline = [
+    dict(type="Resize", img_scale=(1333, 800), keep_ratio=True),
+    dict(type="RandomFlip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+]
+
+seg_train_pipeline = [
+    dict(type="Resize", img_scale=(512, 512), ratio_range=(0.5, 2.0)),
+    dict(type="RandomCrop", crop_size=(512, 512), cat_max_ratio=0.75,
+         ignore_index=255),
+    dict(type="RandomFlip", prob=0.5),
+    dict(type="PhotoMetricDistortion"),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Pad", size=(512, 512), pad_val=0, seg_pad_val=5),
+]
+
 data = dict(
     resisc=dict(
-        data=dict(train=dict(img_size=256, pipeline=cls_train_pipeline)))
+        data=dict(train=dict(img_size=256, pipeline=cls_train_pipeline))),
+    dior=dict(
+        data=dict(train=dict(pipeline=det_train_pipeline))),
+    potsdam=dict(
+        data=dict(train=dict(pipeline=seg_train_pipeline))),
 )

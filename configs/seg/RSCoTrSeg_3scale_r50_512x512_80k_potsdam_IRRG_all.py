@@ -47,7 +47,9 @@ data = dict(
     potsdam=dict(task="seg",
                  config="configs/_base_/seg/potsdam_IRRG_all.py",
                  data=dict(samples_per_gpu=2),
-                 loader=dict(seg_size=512, seg_pad_val=5)),
+                 loader=dict(seg_size=512, seg_pad_val=5,
+                             device_preprocess=True,
+                             seg_device_augment=True)),
 )
 
 optimizer = dict(_delete_=True, type="AdamW", lr=1e-4, weight_decay=0.0001,

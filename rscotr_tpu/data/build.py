@@ -81,7 +81,8 @@ _COLLATES = {
     "cls": lambda opts: collate_cls,
     "det": lambda opts: (lambda samples: collate_det(
         samples, bucket_hw=opts.get("det_bucket_hw", (800, 800)),
-        max_gt=opts.get("max_gt", 100))),
+        max_gt=opts.get("max_gt", 100),
+        dn_ladder=opts.get("_dn_ladder"))),
     "seg": lambda opts: (lambda samples: collate_seg(
         samples, size=opts.get("seg_size", 512),
         seg_pad_val=opts.get("seg_pad_val", 255))),
@@ -93,7 +94,8 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
                       num_threads: int = 4,
                       world_size: int = 1,
                       num_replicas: Optional[int] = None,
-                      rank: Optional[int] = None
+                      rank: Optional[int] = None,
+                      det_dn_ladder=None
                       ) -> Dict[str, TaskDataLoader]:
     """``world_size > 1`` multiplies the per-device batch into a global
     batch (DDP semantics: reference ``samples_per_gpu`` is per device;
@@ -114,6 +116,8 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
     for name, ds in datasets.items():
         entry = data_cfg[name]
         opts = dict(entry.get("loader", {}))
+        if train and ds.task == "det" and det_dn_ladder:
+            opts["_dn_ladder"] = tuple(det_dn_ladder)
         bs = entry["data"].get("samples_per_gpu", 1) if train else \
             entry["data"].get("test_samples_per_gpu", 1)
         if train:
@@ -150,9 +154,10 @@ def build_dataloaders(datasets: Dict[str, object], data_cfg,
                     isinstance(bh[0], (tuple, list)) else bh
             pcfg, img_norm, _ = split_det_device_augment_cfg(
                 pcfg, src_hw=tuple(src_hw))
-            collate = (lambda samples: collate_det_aug(
-                samples, bucket_hw=opts.get("det_bucket_hw", (800, 800)),
-                max_gt=opts.get("max_gt", 100)))
+            collate = (lambda samples, _o=opts: collate_det_aug(
+                samples, bucket_hw=_o.get("det_bucket_hw", (800, 800)),
+                max_gt=_o.get("max_gt", 100),
+                dn_ladder=_o.get("_dn_ladder")))
         elif train and ds.task == "seg" and \
                 opts.get("seg_device_augment", False):
             # ratio-resize/crop/flip/photometric pixel work moves into
@@ -207,10 +212,30 @@ def build_iteration_strategy(cfg, loaders, seed: int = 0):
     return strategy
 
 
+def derive_dn_ladder(cfg):
+    """(dn_max_gt, max_gt) DN group-width ladder for the det collate —
+    mirrors apis.make_step_config's CdnConfig derivation (keep the two in
+    sync). The reference widens every DN group to the runtime batch max
+    GT (query_denoising.py:97,121-123); collates quantize that max to
+    this static ladder so crowded images keep full DN coverage at a
+    bounded compiled-graph count."""
+    bh = (cfg.get("model", {}) or {}).get("bbox_head") or {}
+    if not bh or not bh.get("dn_cfg"):
+        return None
+    gc = (bh.get("dn_cfg", {}) or {}).get("group_cfg", {}) or {}
+    max_gt = 100
+    for entry in cfg.data.values():
+        if entry["task"] == "det":
+            max_gt = dict(entry.get("loader", {})).get("max_gt", 100)
+    dn_max_gt = min(gc.get("dn_max_gt", 20), max_gt)
+    return tuple(sorted({dn_max_gt, max_gt}))
+
+
 def build_multidataloader(cfg, datasets: Dict[str, object],
                           seed: int = 0,
                           world_size: int = 1) -> MultiDataLoader:
     loaders = build_dataloaders(datasets, cfg.data, train=True, seed=seed,
-                                world_size=world_size)
+                                world_size=world_size,
+                                det_dn_ladder=derive_dn_ladder(cfg))
     strategy = build_iteration_strategy(cfg, loaders, seed=seed)
     return MultiDataLoader(loaders, strategy)

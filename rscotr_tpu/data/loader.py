@@ -97,8 +97,19 @@ def select_det_bucket(bucket_hw, h: int, w: int):
     return min(fits, key=lambda b: b[0] * b[1])
 
 
-def collate_det(samples: List[dict], bucket_hw, max_gt: int
-                ) -> Dict[str, np.ndarray]:
+def dn_wide_marker(n_gt_max: int, dn_ladder) -> np.ndarray:
+    """Zero-width marker whose SHAPE carries the DN group width for this
+    batch: the smallest ladder entry >= the batch's max valid-GT count
+    (the reference sizes DN groups from the runtime batch max —
+    query_denoising.py:97; a static ladder keeps the compiled-graph set
+    to len(ladder) per det bucket). Costs nothing to transfer."""
+    ladder = sorted(dn_ladder)
+    s = next((v for v in ladder if v >= n_gt_max), ladder[-1])
+    return np.zeros((0, s), np.float32)
+
+
+def collate_det(samples: List[dict], bucket_hw, max_gt: int,
+                dn_ladder=None) -> Dict[str, np.ndarray]:
     B = len(samples)
     hmax = max(s["img"].shape[0] for s in samples)
     wmax = max(s["img"].shape[1] for s in samples)
@@ -122,9 +133,13 @@ def collate_det(samples: List[dict], bucket_hw, max_gt: int
         gt_bboxes[i, :n] = boxes[:n]
         gt_labels[i, :n] = labels[:n]
         gt_valid[i, :n] = True
-    return {"img": img, "img_hw": img_hw, "scale_factor": scale_factor,
-            "gt_bboxes": gt_bboxes, "gt_labels": gt_labels,
-            "gt_valid": gt_valid}
+    out = {"img": img, "img_hw": img_hw, "scale_factor": scale_factor,
+           "gt_bboxes": gt_bboxes, "gt_labels": gt_labels,
+           "gt_valid": gt_valid}
+    if dn_ladder:
+        out["dn_wide"] = dn_wide_marker(
+            int(gt_valid.sum(axis=1).max(initial=0)), dn_ladder)
+    return out
 
 
 _DET_AUG_KEYS = ("aug_src_h", "aug_src_w", "aug_flip_src",
@@ -133,8 +148,8 @@ _DET_AUG_KEYS = ("aug_src_h", "aug_src_w", "aug_flip_src",
                  "aug_s2_w")
 
 
-def collate_det_aug(samples: List[dict], bucket_hw, max_gt: int
-                    ) -> Dict[str, np.ndarray]:
+def collate_det_aug(samples: List[dict], bucket_hw, max_gt: int,
+                    dn_ladder=None) -> Dict[str, np.ndarray]:
     """Device-augment mode: raw uint8 source images (already padded to
     the static source bucket by DetDeviceAugmentPlanner) + ``aug_*``
     geometric programs; the pixel work runs inside the jitted det step.
@@ -168,6 +183,9 @@ def collate_det_aug(samples: List[dict], bucket_hw, max_gt: int
     }
     for k in _DET_AUG_KEYS:
         batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+    if dn_ladder:
+        batch["dn_wide"] = dn_wide_marker(
+            int(gt_valid.sum(axis=1).max(initial=0)), dn_ladder)
     return batch
 
 

@@ -228,10 +228,20 @@ def det_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
                  "new_label": batch["dn_noise_new_label"],
                  "sign": batch["dn_noise_sign"],
                  "part": batch["dn_noise_part"]}
+    # DN group widening (reference widens every group to the batch max GT
+    # count — query_denoising.py:97,121-123): the collate quantizes the
+    # batch max to a small static ladder and encodes the choice in the
+    # zero-width ``dn_wide`` leaf's SHAPE, so each ladder width compiles
+    # its own graph and no valid GT is ever dropped from DN supervision.
+    cdn_cfg = cfg.cdn
+    if "dn_wide" in batch:
+        s_sel = int(batch["dn_wide"].shape[1])
+        if s_sel != cdn_cfg.single_pad:
+            cdn_cfg = dataclasses.replace(cdn_cfg, dn_max_gt=s_sel)
     dn_label_q, dn_bbox_q = generate_cdn_queries(
-        k_cdn, gt_norm, gt_labels, gt_valid, label_emb, cfg.cdn,
+        k_cdn, gt_norm, gt_labels, gt_valid, label_emb, cdn_cfg,
         noise=noise)
-    attn_mask = jnp.asarray(cdn_self_attn_mask(cfg.cdn))
+    attn_mask = jnp.asarray(cdn_self_attn_mask(cdn_cfg))
 
     all_cls, all_coords, topk_score, topk_anchor = model.apply(
         params, img, img_hw, dn_label_q, dn_bbox_q, attn_mask,
@@ -240,7 +250,7 @@ def det_loss_fn(model, params, batch, rng, cfg: TrainStepConfig,
         method=model.forward_det)
     return dino_loss(all_cls, all_coords, topk_score, topk_anchor,
                      gt_bboxes, gt_labels, gt_valid, img_hw,
-                     cfg.cdn, cfg.det)
+                     cdn_cfg, cfg.det)
 
 
 LOSS_FNS = {"cls": cls_loss_fn, "det": det_loss_fn, "seg": seg_loss_fn}

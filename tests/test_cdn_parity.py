@@ -279,3 +279,145 @@ class TestCdnReferenceParity:
                         num_dn_queries=10)
         assert cfg.single_pad == 10 and cfg.num_groups == 1
         assert cfg.pad_size == 20
+
+
+class TestCdnGroupWidening:
+    """VERDICT r3 #6: crowded images (valid GTs > dn_max_gt) must keep
+    FULL DN coverage. The collate quantizes the batch max GT count to a
+    static ladder (data/loader.dn_wide_marker) and encodes the choice in
+    the zero-width ``dn_wide`` leaf's shape; engine/train_step.det_loss_fn
+    rebuilds CdnConfig with the widened width (mirroring the reference's
+    runtime group widening, query_denoising.py:97,121-123) and each
+    ladder width compiles its own graph."""
+
+    def test_dn_wide_marker_ladder(self):
+        from rscotr_tpu.data.loader import dn_wide_marker
+        assert dn_wide_marker(3, (20, 100)).shape == (0, 20)
+        assert dn_wide_marker(20, (20, 100)).shape == (0, 20)
+        assert dn_wide_marker(21, (20, 100)).shape == (0, 100)
+        assert dn_wide_marker(100, (20, 100)).shape == (0, 100)
+        assert dn_wide_marker(0, (20, 100)).shape == (0, 20)
+        # beyond the ladder top: clamp to the largest entry (collate
+        # already caps valid GTs at max_gt)
+        assert dn_wide_marker(300, (20, 100)).shape == (0, 100)
+
+    def test_collates_emit_marker(self):
+        from rscotr_tpu.data.loader import collate_det
+        samples = [
+            {"img": np.zeros((32, 32, 3), np.float32),
+             "gt_bboxes": np.tile([[1, 1, 5, 5]], (n, 1)).astype(
+                 np.float32),
+             "gt_labels": np.zeros(n, np.int32)}
+            for n in (3, 7)]
+        b = collate_det(samples, bucket_hw=(32, 32), max_gt=10,
+                        dn_ladder=(4, 10))
+        assert b["dn_wide"].shape == (0, 10)      # batch max 7 -> 10
+        b2 = collate_det(samples[:1], bucket_hw=(32, 32), max_gt=10,
+                         dn_ladder=(4, 10))
+        assert b2["dn_wide"].shape == (0, 4)      # batch max 3 -> 4
+        b3 = collate_det(samples, bucket_hw=(32, 32), max_gt=10)
+        assert "dn_wide" not in b3                # no ladder -> legacy
+
+    def test_crowded_image_matches_reference_when_widened(self):
+        """A 30-GT image under flagship-style settings: the widened
+        variant (ladder entry = 30 = the reference's runtime single_pad)
+        reproduces the reference generator/mask/targets EXACTLY — the
+        deviation VERDICT r3 #6 flags is closed whenever the selected
+        ladder width equals the batch max, and is conservative-coverage
+        (never truncation) otherwise."""
+        import dataclasses as dc
+        import jax
+        rng = np.random.default_rng(7)
+        NUM_CLASSES, NUM_QUERIES, NUM_DN, MAX_GT = 11, 14, 60, 40
+        KNOWN = [30]
+        base = CdnConfig(num_classes=NUM_CLASSES, num_queries=NUM_QUERIES,
+                         max_gt=MAX_GT, num_dn_queries=NUM_DN,
+                         dn_max_gt=20)
+        # what det_loss_fn does on seeing dn_wide of width 30
+        cfg = dc.replace(base, dn_max_gt=30)
+        assert cfg.single_pad == 30
+        assert cfg.num_groups == ref_get_num_groups(NUM_DN, 30) == 2
+        S, blocks = cfg.single_pad, 2 * cfg.num_groups
+        boxes_list, labels_list, gt_boxes, gt_labels, gt_valid = \
+            _make_batch(rng, KNOWN, NUM_CLASSES, MAX_GT)
+        emb = rng.standard_normal((NUM_CLASSES, 8)).astype(np.float32)
+        total = sum(KNOWN) * blocks
+        p_flat = rng.uniform(0, 1, total).astype(np.float32)
+        new_flat = rng.integers(0, NUM_CLASSES, total)
+        sign_flat = (rng.integers(0, 2, (total, 4)) * 2 - 1
+                     ).astype(np.float32)
+        part_flat = rng.uniform(0, 1, (total, 4)).astype(np.float32)
+        ref_l, ref_b, ref_mask, dn_meta = ref_cdn_generator(
+            boxes_list, labels_list, NUM_CLASSES, NUM_QUERIES,
+            NUM_DN, emb, p_flat, new_flat, sign_flat, part_flat)
+        assert dn_meta["pad_size"] == cfg.pad_size
+        noise = dict(
+            p=jnp.asarray(_flat_noise_to_bjs(p_flat, KNOWN, blocks, S)),
+            new_label=jnp.asarray(_flat_noise_to_bjs(
+                new_flat.astype(np.int32), KNOWN, blocks, S)),
+            sign=jnp.asarray(_flat_noise_to_bjs(
+                sign_flat, KNOWN, blocks, S)),
+            part=jnp.asarray(_flat_noise_to_bjs(
+                part_flat, KNOWN, blocks, S)))
+        got_l, got_b = generate_cdn_queries(
+            jax.random.key(0), jnp.asarray(gt_boxes),
+            jnp.asarray(gt_labels), jnp.asarray(gt_valid),
+            jnp.asarray(emb), cfg, noise=noise)
+        np.testing.assert_allclose(np.asarray(got_l), ref_l, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_b), ref_b, atol=1e-5)
+        np.testing.assert_array_equal(cdn_self_attn_mask(cfg), ref_mask)
+        t = cdn_targets(jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                        jnp.asarray(gt_valid), cfg)
+        rl, rlw, rbt, rbw, npos = ref_dn_target_single(
+            boxes_list[0], labels_list[0], NUM_CLASSES, dn_meta)
+        np.testing.assert_array_equal(np.asarray(t["labels"])[0], rl)
+        np.testing.assert_allclose(np.asarray(t["bbox_targets"])[0], rbt,
+                                   atol=1e-6)
+        assert float(t["num_pos"]) == npos
+        # and the narrow base cfg WOULD have truncated: GTs 20..29 get
+        # zero DN supervision under width 20, full coverage under 30
+        # (same TOTAL positives here — 3 groups x 20 vs 2 x 30 — which
+        # is exactly why truncation was easy to miss)
+        t_narrow = cdn_targets(jnp.asarray(gt_boxes),
+                               jnp.asarray(gt_labels),
+                               jnp.asarray(gt_valid), base)
+
+        def per_gt_pos(t_, S_):
+            w = np.asarray(t_["bbox_weights"])[0, :, 0]     # (pad,)
+            return w.reshape(-1, S_).sum(0)                 # per slot
+        narrow = per_gt_pos(t_narrow, base.single_pad)      # (20,)
+        wide = per_gt_pos(t, cfg.single_pad)                # (30,)
+        assert (wide[:30] > 0).all()
+        assert narrow.shape[0] == 20                        # 20..29 absent
+
+    def test_widened_variant_covers_every_gt(self):
+        """The test_dn_max_gt_caps_oversized_images truncation disappears
+        once the ladder widens the layout."""
+        import dataclasses as dc
+        base = CdnConfig(num_classes=4, num_queries=6, max_gt=6,
+                         num_dn_queries=4, dn_max_gt=2)
+        cfg = dc.replace(base, dn_max_gt=6)      # ladder top = max_gt
+        gt_boxes = np.full((1, 6, 4), 0.5, np.float32)
+        gt_labels = np.zeros((1, 6), np.int32)
+        gt_valid = np.ones((1, 6), bool)
+        t = cdn_targets(jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                        jnp.asarray(gt_valid), cfg)
+        assert float(t["num_pos"]) == 6 * cfg.num_groups
+
+    def test_derive_dn_ladder(self):
+        from rscotr_tpu.data.build import derive_dn_ladder
+        cfg = {"model": {"bbox_head": {"dn_cfg": {"group_cfg": {
+                   "num_dn_queries": 100}}}},
+               "data": {"dior": {"task": "det",
+                                 "loader": {"max_gt": 100}}}}
+
+        class D(dict):
+            def get(self, k, d=None):
+                return dict.get(self, k, d)
+        cfg = {"model": cfg["model"], "data": cfg["data"],
+               "get": None}
+        import types
+        ns = types.SimpleNamespace(**cfg)
+        ns.get = lambda k, d=None: getattr(ns, k, d)
+        ns.data = cfg["data"]
+        assert derive_dn_ladder(ns) == (20, 100)
