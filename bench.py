@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark harness — MTL inference throughput (RESISC45+DIOR+Potsdam mix).
+"""Benchmark harness — flagship MTL throughput on one chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N, ...}
 
-Measures the flagship MTL architecture (Swin-T + shared 6-layer deformable
-encoder + 3 heads) on one chip: a mix unit = 16 cls images (224^2) + 1 det
-image (800^2) + 2 seg images (512^2), mirroring the co-training per-step
-batch mix.
+HEADLINE (since round 4): end-to-end production TRAINING wall-clock on
+the flagship synthetic workload — the real tools/train.py loop (host
+param draws + uint8 H2D + on-device augmentation for all three tasks +
+K-step scanned dispatch, i.e. the shipped config defaults) measured as
+steady-state img/s over the co-training mix (16 cls 224^2 + 1 det 800^2 +
+2 seg 512^2 per 3-step round). This is the number the round-3 verdict
+said the bench must reflect: rounds 1-3 reported pure-device inference
+throughput, which is MSDA-lookup-bound and flat while the production
+pipeline got 1.7x+ faster. The former inference metric is still computed
+and reported as ``infer_img_s``/``*_ms`` fields for cross-round
+continuity.
 
 Honesty instrumentation (VERDICT r1 #4). Measured facts about this host's
 'axon' TPU tunnel (2026-08): ``jax.block_until_ready`` does NOT actually
@@ -40,11 +47,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Estimated A100 (PyTorch, fp16) throughput for the same mix unit:
+# Estimated A100 (PyTorch, fp16) INFERENCE throughput for the same mix:
 # DINO Swin-T ~13 img/s det + Mask2Former ~22 img/s seg + Swin-T cls
 # ~800 img/s -> one mix unit (16 cls + 1 det + 2 seg) ~ 5.3 units/s
 # -> ~19 img/s per-image aggregate. Conservative published-figure estimate.
 A100_BASELINE_IMG_S = 19.0
+
+# Estimated A100 (PyTorch, fp16, mm-stack) TRAINING throughput for the
+# mix: public mmlab A100-class logs put Swin-T cls bs16 ~0.06 s/iter,
+# DINO-4scale Swin-T bs1 ~0.30 s/iter, Mask2Former-style seg 512^2 bs2
+# ~0.25 s/iter -> one mix round ~0.61 s -> ~31 img/s. Estimate only (the
+# reference publishes no throughput — BASELINE.md); replaced by a
+# measured number when one lands in BASELINE.json.
+A100_TRAIN_BASELINE_IMG_S = 31.0
 
 # bf16 peak FLOP/s per chip (for MFU). v5e ~197 TF; v4 ~275 TF; v5p ~459 TF.
 PEAK_FLOPS = {"v5e": 197e12, "v5 lite": 197e12, "v4": 275e12,
@@ -212,11 +227,49 @@ def main():
     peak = _peak_flops(dev)
     mfu = (unit_flops / unit_s) / peak if unit_flops else None
 
-    print(json.dumps({
-        "metric": "img/s/chip MTL inference (RESISC45+DIOR+Potsdam mix)",
-        "value": round(img_s, 2),
+    # ---- headline: production train wall-clock (tools/train.py loop on
+    # the flagship synthetic workload with the shipped defaults: devaug
+    # on all three tasks + K=8 scanned dispatch). Steady-state per-iter
+    # time comes from the runner's own metrics.jsonl (drop the first 25%
+    # of records = compile/warmup iters, take the median of the rest).
+    train_img_s = train_s_iter = None
+    train_err = None
+    try:
+        import shutil
+        import tempfile
+
+        from rscotr_tpu.apis import train_model
+        cfg_t = Config.fromfile(os.path.join(
+            root, "configs/multi/MTL_synthetic_flagship_devaug.py"))
+        cfg_t = load_data_cfg(cfg_t, config_root=root)
+        n_iters = int(os.environ.get("RSCOTR_BENCH_TRAIN_ITERS", "96"))
+        cfg_t["runner"]["max_iters"] = n_iters
+        cfg_t["evaluation"] = dict(interval=10 ** 9)
+        cfg_t["checkpoint_config"] = dict(interval=10 ** 9)
+        cfg_t["log_config"] = dict(interval=8)
+        wd = tempfile.mkdtemp(prefix="bench_train_")
+        try:
+            train_model(cfg_t, wd, validate=False, num_devices=1)
+            recs = [json.loads(l)
+                    for l in open(os.path.join(wd, "metrics.jsonl"))
+                    if l.strip()]
+            times = [r["time"] for r in recs if "time" in r]
+            times = times[max(1, len(times) // 4):]
+            # MEAN, not median: iters alternate tasks (round robin), so
+            # the mix time is 3x the cross-task mean per-iter time
+            train_s_iter = float(np.mean(times))
+            train_img_s = imgs_per_unit / (3.0 * train_s_iter)
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+    except Exception as e:   # noqa: BLE001 — the driver must get a line
+        train_err = f"{type(e).__name__}: {e}"
+
+    out = {
+        "metric": "img/s/chip MTL production training wall-clock "
+                  "(RESISC45+DIOR+Potsdam mix, devaug + K-scan defaults)",
         "unit": "img/s",
-        "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+        "infer_img_s": round(img_s, 2),
+        "infer_vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "unit_gflops": round(unit_flops / 1e9, 1),
         "cls_ms": round(task_ms["cls"], 2),
@@ -226,9 +279,24 @@ def main():
         "det_dispatch_ms": round(dispatch_ms["det"], 2),
         "seg_dispatch_ms": round(dispatch_ms["seg"], 2),
         "device": getattr(dev, "device_kind", str(dev)),
-        "baseline_note": "A100 denominator is an estimate from public "
+        "baseline_note": "A100 denominators are estimates from public "
                          "figures (reference publishes no throughput)",
-    }))
+    }
+    if train_img_s is not None:
+        # the mix unit spans THREE runner iterations (one per task)
+        out["value"] = round(train_img_s, 2)
+        out["vs_baseline"] = round(
+            train_img_s / A100_TRAIN_BASELINE_IMG_S, 3)
+        out["train_s_per_iter"] = round(train_s_iter, 4)
+    else:
+        # fall back to the inference headline so the driver always gets
+        # a comparable line
+        out["metric"] = ("img/s/chip MTL inference "
+                         "(RESISC45+DIOR+Potsdam mix)")
+        out["value"] = round(img_s, 2)
+        out["vs_baseline"] = round(img_s / A100_BASELINE_IMG_S, 3)
+        out["train_bench_error"] = train_err
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -283,12 +283,16 @@ class IterBasedRunner:
             buf.append(self._draw(state, multi_loader))
 
         def gkey(b):
-            # batch shape is part of the group identity: multi-bucket det
-            # loaders (det_bucket_hw list) emit different static shapes
-            # for the same dataset, and stacking/scanning requires
+            # batch STATIC SHAPES are part of the group identity:
+            # multi-bucket det loaders (det_bucket_hw list) emit
+            # different img/out_template shapes, and the CDN group-width
+            # ladder varies dn_wide's width — stacking/scanning requires
             # shape-homogeneous groups
             return (b["task"], b["dataset_name"],
-                    tuple(getattr(b.get("img"), "shape", ()) or ()))
+                    tuple(getattr(b.get("img"), "shape", ()) or ()),
+                    tuple(getattr(b.get("out_template"), "shape", ())
+                          or ()),
+                    tuple(getattr(b.get("dn_wide"), "shape", ()) or ()))
 
         key = gkey(buf[0])
         group = [buf.popleft()]
@@ -348,7 +352,7 @@ class IterBasedRunner:
         t_last = time.perf_counter()
         while self.step < self.max_iters and not self._should_stop():
             k_eff = min(K, self._hook_boundary())
-            (task, dataset_name, img_shape), group = self._next_group(
+            (task, dataset_name, img_shape, *_), group = self._next_group(
                 state, multi_loader, k_eff)
             if (task, img_shape, len(group)) not in seen_shapes:
                 seen_shapes.add((task, img_shape, len(group)))
