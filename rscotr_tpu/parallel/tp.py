@@ -55,9 +55,16 @@ _RULES: Tuple[Tuple[str, object], ...] = (
     # multi-head attention projections
     (r"/(q_proj|k_proj|v_proj|value_proj)/", _COL),
     (r"/(out_proj|output_proj)/", _ROW),
-    # Swin window attention
-    (r"/qkv/", _COL),
-    (r"/attn/proj/", _ROW),
+    # Swin window attention is REPLICATED (no rule): its fused qkv Dense
+    # emits 3C features laid out (3, H, hd) with the 3 MAJOR — a flat
+    # column sharding over 'model' crosses the q/k/v boundary, so the
+    # (B_, n, 3, H, hd) reshape is not partitionable and GSPMD fell back
+    # to involuntary full rematerialization of the whole window-attn
+    # brick (MULTICHIP_r03 spmd_partitioner warnings; VERDICT r3 #3).
+    # Replicating these two (small: 3C^2 + C^2 per block) keeps the FFNs
+    # sharded and the partition clean; head-aligned qkv sharding would
+    # need a 3-way split of the projection (checkpoint-layout change) for
+    # a marginal win on a 28M-param backbone.
     # Swin MLP (flat names mlp_fc1/mlp_fc2 in backbones/swin.py)
     (r"/mlp_fc1/", _COL),
     (r"/mlp_fc2/", _ROW),

@@ -108,7 +108,8 @@ def test_tp_dp_step_matches_single_device(cls_setup):
         jax.block_until_ready(l1["loss"])
 
         inner_specs = tp_param_specs(params["params"], mesh)
-        # at least the Swin FFN/qkv kernels must actually shard
+        # at least the Swin MLP kernels must actually shard (window-attn
+        # qkv/proj are deliberately replicated — parallel/tp.py rules)
         sharded = [s for s in jax.tree.leaves(
             inner_specs, is_leaf=lambda x: isinstance(x, NamedSharding))
             if any(s.spec)]
