@@ -226,7 +226,15 @@ def derive_dn_ladder(cfg):
     max_gt = 100
     for entry in cfg.data.values():
         if entry["task"] == "det":
-            max_gt = dict(entry.get("loader", {})).get("max_gt", 100)
+            opts = dict(entry.get("loader", {}))
+            max_gt = opts.get("max_gt", 100)
+            if not opts.get("dn_widen", True):
+                # loader.dn_widen=False: legacy single-width layout
+                # (crowded images truncated to dn_max_gt). Mixing ladder
+                # widths fragments K-scan dispatch groups and doubles
+                # the per-(task, n) compiled-graph set, so workloads
+                # where >dn_max_gt-GT images are common may prefer this.
+                return None
     dn_max_gt = min(gc.get("dn_max_gt", 20), max_gt)
     return tuple(sorted({dn_max_gt, max_gt}))
 

@@ -57,7 +57,12 @@ def main():
                      ("cls", "det", "seg")), "?")
         by_task[task].append(r)
 
-    out = {"overall": stats(recs),
+    overall = stats(recs)
+    # flagship mix: 16 cls + 1 det + 2 seg images over THREE round-robin
+    # iterations -> mix img/s = 19 / (3 * mean per-iter time)
+    overall["mix_img_per_s"] = round(
+        19.0 / (3.0 * overall["time_mean"]), 2)
+    out = {"overall": overall,
            "per_task": {k: stats(v) for k, v in sorted(by_task.items())},
            "skipped_records": skip}
     print(json.dumps(out, indent=2))
