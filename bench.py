@@ -253,12 +253,34 @@ def main():
             recs = [json.loads(l)
                     for l in open(os.path.join(wd, "metrics.jsonl"))
                     if l.strip()]
-            times = [r["time"] for r in recs if "time" in r]
-            times = times[max(1, len(times) // 4):]
-            # MEAN, not median: iters alternate tasks (round robin), so
-            # the mix time is 3x the cross-task mean per-iter time
-            train_s_iter = float(np.mean(times))
-            train_img_s = imgs_per_unit / (3.0 * train_s_iter)
+            # steady state per task: records are grouped by the task
+            # named in their loss keys, and one-time-compile records
+            # (scan graphs compile lazily per (task, n) shape; 60-300
+            # s/iter vs a 0.1-0.5 s/iter steady state) are dropped by an
+            # absolute 2 s/iter cutoff. Summing PER-TASK means (not a
+            # cross-record mean) keeps dropped det compiles from biasing
+            # the mix toward the faster tasks.
+            per_task = {}
+            for r in recs:
+                if "time" not in r:
+                    continue
+                task = next((k.split(".")[0] for k in r
+                             if "." in k and k.split(".")[0] in
+                             ("cls", "det", "seg")), None)
+                if task:
+                    per_task.setdefault(task, []).append(r["time"])
+            means = {}
+            for t, ts in per_task.items():
+                clean = [x for x in ts if x < 2.0] or ts
+                means[t] = float(np.mean(clean))
+            if len(means) == 3:
+                train_s_iter = sum(means.values()) / 3.0
+                train_img_s = imgs_per_unit / sum(means.values())
+            else:   # degenerate run — fall back to the raw mean
+                times = [r["time"] for r in recs if "time" in r]
+                times = times[max(1, len(times) // 4):]
+                train_s_iter = float(np.mean(times))
+                train_img_s = imgs_per_unit / (3.0 * train_s_iter)
         finally:
             shutil.rmtree(wd, ignore_errors=True)
     except Exception as e:   # noqa: BLE001 — the driver must get a line

@@ -20,10 +20,16 @@ data = dict(
     dior=dict(
         task="det",
         data=dict(samples_per_gpu=1,
+                  # max_boxes 18: DIOR-like per-image GT counts (typical
+                  # ceiling ~20). The uniform(1, 50) draw used before
+                  # made 60% of batches cross the CDN width ladder's
+                  # dn_max_gt=20 boundary, fragmenting K-scan groups and
+                  # doubling the compiled-graph set in a way real DIOR
+                  # does not (crowded images there are rare).
                   train=dict(type="SyntheticDetDataset", length=64,
-                             img_size=800, num_classes=20, max_boxes=50),
+                             img_size=800, num_classes=20, max_boxes=18),
                   val=dict(type="SyntheticDetDataset", length=8,
-                           img_size=800, num_classes=20, max_boxes=50,
+                           img_size=800, num_classes=20, max_boxes=18,
                            seed=1)),
         loader=dict(det_bucket_hw=(800, 800), max_gt=100)),
     potsdam=dict(
