@@ -177,7 +177,24 @@ def _strided_test(infer_steps: Dict[str, Callable], params,
                 logits_step = infer_steps.get("seg_logits")
                 hw = batch.get("img_hw")
                 ori = batch.get("ori_hw")
-                if logits_step is not None:
+                H, W = batch["img"].shape[1:3]
+                # fast path: nothing to crop or resize (img_hw == padded
+                # == ori_shape — true for Potsdam's uniform 512 tiles) ->
+                # argmax ON DEVICE, ship (H, W) int32 instead of the full
+                # logits volume. Bit-identical result; measured on the
+                # axon tunnel the scheme-2 head's (512, 512, Q=100) f32
+                # logits cost 4-5 s/image in D2H alone (PERF.md round-4
+                # eval-loop section) vs 54 ms for the label map.
+                no_reshape = (
+                    hw is not None and ori is not None and
+                    bool(np.all(hw[:valid] == (H, W))) and
+                    bool(np.all(ori[:valid, 0] == hw[:valid, 0])) and
+                    bool(np.all(ori[:valid, 1] == hw[:valid, 1])))
+                if no_reshape and "seg" in infer_steps:
+                    preds = np.asarray(step(params, batch["img"]))
+                    out.extend((base + i, preds[i].astype(np.int32))
+                               for i in range(valid))
+                elif logits_step is not None:
                     logits = np.asarray(logits_step(params, batch["img"]))
                     for i in range(valid):
                         lg = logits[i]

@@ -92,3 +92,31 @@ class TestEvalUsesLogitsPath:
         )[0].permute(1, 2, 0).numpy().argmax(-1)
         np.testing.assert_array_equal(got, want)
         assert got.shape == (19, 21)
+
+    def test_strided_seg_fast_path_device_argmax(self):
+        """img_hw == padded == ori_shape (Potsdam's uniform tiles): the
+        eval loop must take the device-argmax fast path (1 MB int32 D2H
+        instead of the Q-channel logits volume — PERF.md round 4) and
+        produce the SAME labels the logits path would."""
+        rng = np.random.default_rng(2)
+        B, H, W, C = 1, 12, 12, 3
+        logits = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        img = np.zeros((B, H, W, 3), np.float32)
+        batch = {"img": img,
+                 "img_hw": np.asarray([[H, W]], np.int32),
+                 "ori_hw": np.asarray([[H, W]], np.int32)}
+        called = {"seg": 0, "seg_logits": 0}
+
+        def seg_step(p, im):
+            called["seg"] += 1
+            return logits.argmax(-1)
+
+        def logits_step(p, im):
+            called["seg_logits"] += 1
+            return logits
+
+        steps = {"seg": seg_step, "seg_logits": logits_step}
+        res = _strided_test(steps, None, {"d": _FakeLoader(batch)})
+        got = res["d"][0][1]
+        assert called == {"seg": 1, "seg_logits": 0}
+        np.testing.assert_array_equal(got, logits[0].argmax(-1))
