@@ -135,7 +135,10 @@ data = dict(
     resisc=dict(
         task="cls",
         config="configs/_base_/cls/resisc_swin_224.py",
-        data=dict(samples_per_gpu=16),
+        # test_samples_per_gpu: eval batches amortize the per-dispatch
+        # tunnel/host overhead that dominates bs=1 eval (PERF.md round-4
+        # eval-loop section)
+        data=dict(samples_per_gpu=16, test_samples_per_gpu=8),
         loader=dict(cls_size=224, device_preprocess=True,
                     cls_device_augment=True, cls_src_size=256)),
     dior=dict(
@@ -147,7 +150,7 @@ data = dict(
     potsdam=dict(
         task="seg",
         config="configs/_base_/seg/potsdam_IRRG_all.py",
-        data=dict(samples_per_gpu=2),
+        data=dict(samples_per_gpu=2, test_samples_per_gpu=4),
         loader=dict(seg_size=512, seg_pad_val=5,
                     device_preprocess=True, seg_device_augment=True)),
 )
