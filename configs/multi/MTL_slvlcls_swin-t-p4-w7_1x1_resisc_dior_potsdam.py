@@ -144,7 +144,7 @@ data = dict(
     dior=dict(
         task="det",
         config="configs/_base_/det/dior.py",
-        data=dict(samples_per_gpu=1),
+        data=dict(samples_per_gpu=1, test_samples_per_gpu=4),
         loader=dict(det_bucket_hw=(800, 800), max_gt=100,
                     device_preprocess=True, det_device_augment=True)),
     potsdam=dict(

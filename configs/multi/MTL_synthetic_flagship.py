@@ -11,7 +11,7 @@ data = dict(
     _delete_=True,
     resisc=dict(
         task="cls",
-        data=dict(samples_per_gpu=16,
+        data=dict(samples_per_gpu=16, test_samples_per_gpu=8,
                   train=dict(type="SyntheticClsDataset", length=256,
                              img_size=224, num_classes=45),
                   val=dict(type="SyntheticClsDataset", length=32,
@@ -19,7 +19,7 @@ data = dict(
         loader=dict(cls_size=224)),
     dior=dict(
         task="det",
-        data=dict(samples_per_gpu=1,
+        data=dict(samples_per_gpu=1, test_samples_per_gpu=4,
                   # max_boxes 18: DIOR-like per-image GT counts (typical
                   # ceiling ~20). The uniform(1, 50) draw used before
                   # made 60% of batches cross the CDN width ladder's
@@ -34,7 +34,7 @@ data = dict(
         loader=dict(det_bucket_hw=(800, 800), max_gt=100)),
     potsdam=dict(
         task="seg",
-        data=dict(samples_per_gpu=2,
+        data=dict(samples_per_gpu=2, test_samples_per_gpu=4,
                   train=dict(type="SyntheticSegDataset", length=64,
                              img_size=512, num_classes=5),
                   val=dict(type="SyntheticSegDataset", length=8,
