@@ -242,7 +242,11 @@ def main():
         cfg_t = Config.fromfile(os.path.join(
             root, "configs/multi/MTL_synthetic_flagship_devaug.py"))
         cfg_t = load_data_cfg(cfg_t, config_root=root)
-        n_iters = int(os.environ.get("RSCOTR_BENCH_TRAIN_ITERS", "96"))
+        # enough iters that the steady state dominates even when a lazy
+        # scan-graph (re)compile lands mid-run (config-constant changes
+        # such as max_iters bake into the graphs, so cache hits are not
+        # guaranteed across config edits); warm runs cost ~25 s
+        n_iters = int(os.environ.get("RSCOTR_BENCH_TRAIN_ITERS", "160"))
         cfg_t["runner"]["max_iters"] = n_iters
         cfg_t["evaluation"] = dict(interval=10 ** 9)
         cfg_t["checkpoint_config"] = dict(interval=10 ** 9)

@@ -185,11 +185,13 @@ def _strided_test(infer_steps: Dict[str, Callable], params,
                 # axon tunnel the scheme-2 head's (512, 512, Q=100) f32
                 # logits cost 4-5 s/image in D2H alone (PERF.md round-4
                 # eval-loop section) vs 54 ms for the label map.
+                hw_np = np.asarray(hw)[:valid] if hw is not None else None
+                ori_np = np.asarray(ori)[:valid] if ori is not None \
+                    else None
                 no_reshape = (
-                    hw is not None and ori is not None and
-                    bool(np.all(hw[:valid] == (H, W))) and
-                    bool(np.all(ori[:valid, 0] == hw[:valid, 0])) and
-                    bool(np.all(ori[:valid, 1] == hw[:valid, 1])))
+                    hw_np is not None and ori_np is not None and
+                    bool(np.all(hw_np == np.asarray((H, W)))) and
+                    bool(np.all(ori_np == hw_np)))
                 if no_reshape and "seg" in infer_steps:
                     preds = np.asarray(step(params, batch["img"]))
                     out.extend((base + i, preds[i].astype(np.int32))
