@@ -108,6 +108,79 @@ def main():
     cfg = load_data_cfg(cfg, config_root=root)
     model = build_model(cfg.model)
 
+    # ---- headline FIRST, in pristine process state: production train
+    # wall-clock (tools/train.py loop on
+    # the flagship synthetic workload with the shipped defaults: devaug
+    # on all three tasks + K=8 scanned dispatch). Steady-state per-iter
+    # time comes from the runner's own metrics.jsonl (drop the first 25%
+    # of records = compile/warmup iters, take the median of the rest).
+    import numpy as np
+
+    imgs_per_unit = CLS_BS + DET_BS + SEG_BS
+    train_img_s = train_s_iter = None
+    train_err = None
+    try:
+        import shutil
+        import tempfile
+
+        from rscotr_tpu.apis import train_model
+        cfg_t = Config.fromfile(os.path.join(
+            root, "configs/multi/MTL_synthetic_flagship_devaug.py"))
+        cfg_t = load_data_cfg(cfg_t, config_root=root)
+        # enough iters that the steady state dominates even when a lazy
+        # scan-graph (re)compile lands mid-run (config-constant changes
+        # such as max_iters bake into the graphs, so cache hits are not
+        # guaranteed across config edits); warm runs cost ~25 s
+        n_iters = int(os.environ.get("RSCOTR_BENCH_TRAIN_ITERS", "160"))
+        cfg_t["runner"]["max_iters"] = n_iters
+        cfg_t["evaluation"] = dict(interval=10 ** 9)
+        cfg_t["checkpoint_config"] = dict(interval=10 ** 9)
+        # log interval MUST equal steps_per_dispatch: each record then
+        # covers exactly one dispatch window, so per-task means are
+        # unbiased (PERF.md round-4 measurement-honesty note)
+        k_disp = int((cfg_t.get("runner", {}) or {}).get(
+            "steps_per_dispatch", 1))
+        cfg_t["log_config"] = dict(interval=max(k_disp, 1))
+        wd = tempfile.mkdtemp(prefix="bench_train_")
+        try:
+            train_model(cfg_t, wd, validate=False, num_devices=1)
+            recs = [json.loads(l)
+                    for l in open(os.path.join(wd, "metrics.jsonl"))
+                    if l.strip()]
+            # steady state per task: records are grouped by the task
+            # named in their loss keys, and one-time-compile records
+            # (scan graphs compile lazily per (task, n) shape; 60-300
+            # s/iter vs a 0.1-0.5 s/iter steady state) are dropped by an
+            # absolute 2 s/iter cutoff. Summing PER-TASK means (not a
+            # cross-record mean) keeps dropped det compiles from biasing
+            # the mix toward the faster tasks.
+            per_task = {}
+            for r in recs:
+                if "time" not in r:
+                    continue
+                task = next((k.split(".")[0] for k in r
+                             if "." in k and k.split(".")[0] in
+                             ("cls", "det", "seg")), None)
+                if task:
+                    per_task.setdefault(task, []).append(r["time"])
+            means = {}
+            for t, ts in per_task.items():
+                clean = [x for x in ts if x < 2.0] or ts
+                means[t] = float(np.mean(clean))
+            if len(means) == 3:
+                train_s_iter = sum(means.values()) / 3.0
+                train_img_s = imgs_per_unit / sum(means.values())
+            else:   # degenerate run — fall back to the raw mean
+                times = [r["time"] for r in recs if "time" in r]
+                times = times[max(1, len(times) // 4):]
+                train_s_iter = float(np.mean(times))
+                train_img_s = imgs_per_unit / (3.0 * train_s_iter)
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+    except Exception as e:   # noqa: BLE001 — the driver must get a line
+        train_err = f"{type(e).__name__}: {e}"
+
+
     rng = jax.random.key(0)
     cls_img = jax.random.normal(rng, (CLS_BS, 224, 224, 3),
                                 dtype=jnp.float32)
@@ -219,76 +292,12 @@ def main():
         task_ms[t] = (time.perf_counter() - t0) / (N_OUTER * ITERS) * 1e3
 
     unit_s = sum(task_ms.values()) / 1e3
-    imgs_per_unit = CLS_BS + DET_BS + SEG_BS
     img_s = imgs_per_unit / unit_s
 
     unit_flops = sum(flops.values())
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
     mfu = (unit_flops / unit_s) / peak if unit_flops else None
-
-    # ---- headline: production train wall-clock (tools/train.py loop on
-    # the flagship synthetic workload with the shipped defaults: devaug
-    # on all three tasks + K=8 scanned dispatch). Steady-state per-iter
-    # time comes from the runner's own metrics.jsonl (drop the first 25%
-    # of records = compile/warmup iters, take the median of the rest).
-    train_img_s = train_s_iter = None
-    train_err = None
-    try:
-        import shutil
-        import tempfile
-
-        from rscotr_tpu.apis import train_model
-        cfg_t = Config.fromfile(os.path.join(
-            root, "configs/multi/MTL_synthetic_flagship_devaug.py"))
-        cfg_t = load_data_cfg(cfg_t, config_root=root)
-        # enough iters that the steady state dominates even when a lazy
-        # scan-graph (re)compile lands mid-run (config-constant changes
-        # such as max_iters bake into the graphs, so cache hits are not
-        # guaranteed across config edits); warm runs cost ~25 s
-        n_iters = int(os.environ.get("RSCOTR_BENCH_TRAIN_ITERS", "160"))
-        cfg_t["runner"]["max_iters"] = n_iters
-        cfg_t["evaluation"] = dict(interval=10 ** 9)
-        cfg_t["checkpoint_config"] = dict(interval=10 ** 9)
-        cfg_t["log_config"] = dict(interval=8)
-        wd = tempfile.mkdtemp(prefix="bench_train_")
-        try:
-            train_model(cfg_t, wd, validate=False, num_devices=1)
-            recs = [json.loads(l)
-                    for l in open(os.path.join(wd, "metrics.jsonl"))
-                    if l.strip()]
-            # steady state per task: records are grouped by the task
-            # named in their loss keys, and one-time-compile records
-            # (scan graphs compile lazily per (task, n) shape; 60-300
-            # s/iter vs a 0.1-0.5 s/iter steady state) are dropped by an
-            # absolute 2 s/iter cutoff. Summing PER-TASK means (not a
-            # cross-record mean) keeps dropped det compiles from biasing
-            # the mix toward the faster tasks.
-            per_task = {}
-            for r in recs:
-                if "time" not in r:
-                    continue
-                task = next((k.split(".")[0] for k in r
-                             if "." in k and k.split(".")[0] in
-                             ("cls", "det", "seg")), None)
-                if task:
-                    per_task.setdefault(task, []).append(r["time"])
-            means = {}
-            for t, ts in per_task.items():
-                clean = [x for x in ts if x < 2.0] or ts
-                means[t] = float(np.mean(clean))
-            if len(means) == 3:
-                train_s_iter = sum(means.values()) / 3.0
-                train_img_s = imgs_per_unit / sum(means.values())
-            else:   # degenerate run — fall back to the raw mean
-                times = [r["time"] for r in recs if "time" in r]
-                times = times[max(1, len(times) // 4):]
-                train_s_iter = float(np.mean(times))
-                train_img_s = imgs_per_unit / (3.0 * train_s_iter)
-        finally:
-            shutil.rmtree(wd, ignore_errors=True)
-    except Exception as e:   # noqa: BLE001 — the driver must get a line
-        train_err = f"{type(e).__name__}: {e}"
 
     out = {
         "metric": "img/s/chip MTL production training wall-clock "
