@@ -87,6 +87,34 @@ def _flops_of(compiled) -> float:
         return 0.0
 
 
+def steady_state_mix(recs, compile_cutoff_s: float = 2.0):
+    """(mix_seconds, per_task_means) from metrics.jsonl records.
+
+    Records must be interval-aligned (log interval == steps_per_dispatch
+    — each record covers exactly one same-task dispatch window; PERF.md
+    round-4 measurement-honesty note). Per-task means over records below
+    ``compile_cutoff_s`` drop one-time scan-graph compiles without
+    biasing the mix toward the faster tasks; returns (None, partial)
+    when fewer than all three tasks produced records.
+    """
+    per_task = {}
+    for r in recs:
+        if "time" not in r:
+            continue
+        task = next((k.split(".")[0] for k in r
+                     if "." in k and k.split(".")[0] in
+                     ("cls", "det", "seg")), None)
+        if task:
+            per_task.setdefault(task, []).append(r["time"])
+    means = {}
+    for t, ts in per_task.items():
+        clean = [x for x in ts if x < compile_cutoff_s] or ts
+        means[t] = sum(clean) / len(clean)
+    if len(means) != 3:
+        return None, means
+    return sum(means.values()), means
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -147,29 +175,10 @@ def main():
             recs = [json.loads(l)
                     for l in open(os.path.join(wd, "metrics.jsonl"))
                     if l.strip()]
-            # steady state per task: records are grouped by the task
-            # named in their loss keys, and one-time-compile records
-            # (scan graphs compile lazily per (task, n) shape; 60-300
-            # s/iter vs a 0.1-0.5 s/iter steady state) are dropped by an
-            # absolute 2 s/iter cutoff. Summing PER-TASK means (not a
-            # cross-record mean) keeps dropped det compiles from biasing
-            # the mix toward the faster tasks.
-            per_task = {}
-            for r in recs:
-                if "time" not in r:
-                    continue
-                task = next((k.split(".")[0] for k in r
-                             if "." in k and k.split(".")[0] in
-                             ("cls", "det", "seg")), None)
-                if task:
-                    per_task.setdefault(task, []).append(r["time"])
-            means = {}
-            for t, ts in per_task.items():
-                clean = [x for x in ts if x < 2.0] or ts
-                means[t] = float(np.mean(clean))
-            if len(means) == 3:
-                train_s_iter = sum(means.values()) / 3.0
-                train_img_s = imgs_per_unit / sum(means.values())
+            mix_s, _means = steady_state_mix(recs)
+            if mix_s is not None:
+                train_s_iter = mix_s / 3.0
+                train_img_s = imgs_per_unit / mix_s
             else:   # degenerate run — fall back to the raw mean
                 times = [r["time"] for r in recs if "time" in r]
                 times = times[max(1, len(times) // 4):]

@@ -137,3 +137,33 @@ class TestDrawFeatmap:
         montage = dfm.draw_featmap(feat, img, channel_reduction=None,
                                    topk=4, arrangement=(2, 2))
         assert montage.ndim == 3 and montage.shape[2] == 3
+
+
+class TestBenchSteadyState:
+    def test_steady_state_mix_drops_compiles_per_task(self):
+        bench = _load("bench.py", "bench_mod")
+        recs = []
+        # det's compile record must not bias the mix toward cls/seg
+        for t, times in [("cls", [0.17, 0.18, 0.17]),
+                         ("det", [120.0, 0.32, 0.32, 0.32]),
+                         ("seg", [28.0, 0.15, 0.15])]:
+            for x in times:
+                recs.append({"step": 1, f"{t}.d.loss": 1.0, "time": x})
+        mix, means = bench.steady_state_mix(recs)
+        assert abs(means["det"] - 0.32) < 1e-9
+        assert abs(mix - (0.17333333 + 0.32 + 0.15)) < 1e-6
+
+    def test_steady_state_mix_partial_tasks(self):
+        bench = _load("bench.py", "bench_mod2")
+        recs = [{"step": 1, "cls.d.loss": 1.0, "time": 0.1}]
+        mix, means = bench.steady_state_mix(recs)
+        assert mix is None and list(means) == ["cls"]
+
+    def test_steady_state_mix_all_compile_falls_back(self):
+        bench = _load("bench.py", "bench_mod3")
+        recs = [{"step": 1, f"{t}.d.loss": 1.0, "time": 60.0}
+                for t in ("cls", "det", "seg")]
+        mix, means = bench.steady_state_mix(recs)
+        # nothing under the cutoff -> raw means (still a number, honest
+        # for a cold-cache run)
+        assert abs(mix - 180.0) < 1e-9
