@@ -242,21 +242,37 @@ class IterBasedRunner:
     # K-step scanned dispatch (steps_per_dispatch > 1)
     # ------------------------------------------------------------------
 
-    def _hook_boundary(self) -> int:
-        """Max steps a dispatch group may advance without crossing a hook
+    def _hook_boundary(self, at_step: Optional[int] = None) -> int:
+        """Max steps a dispatch group may advance from ``at_step``
+        (default: the hook-visible ``self.step``) without crossing a hook
         interval boundary — hooks that fire see exact post-group params
         at exactly their firing step. Hooks that only consume per-step
         ``log_vars`` (scanned out per step anyway) opt out with
         ``scan_boundary = False`` so e.g. a log interval of 5 doesn't cap
         an 8-step dispatch."""
-        room = self.max_iters - self.step
+        s = self.step if at_step is None else at_step
+        room = self.max_iters - s
         for h in self._hooks:
             if not getattr(h, "scan_boundary", True):
                 continue
             iv = getattr(h, "interval", None)
             if isinstance(iv, int) and iv > 0:
-                room = min(room, iv - self.step % iv)
+                room = min(room, iv - s % iv)
         return max(room, 1)
+
+    def _param_hook_fires_at(self, s: int) -> bool:
+        """True when a params-reading (scan_boundary) hook fires at
+        global step ``s`` or the run ends there — the deferred-flush
+        pipeline must drain before anything reassigns runner params."""
+        if s >= self.max_iters:
+            return True
+        for h in self._hooks:
+            if not getattr(h, "scan_boundary", True):
+                continue
+            iv = getattr(h, "interval", None)
+            if isinstance(iv, int) and iv > 0 and s % iv == 0:
+                return True
+        return False
 
     def _draw(self, state, multi_loader):
         """One annotated batch; re-ignites the MultiDataLoader on epoch end
@@ -341,6 +357,18 @@ class IterBasedRunner:
         return out
 
     def _run_scanned(self, multi_loader) -> None:
+        """Deferred-flush pipeline: dispatch group N+1 BEFORE reading
+        group N's log values off the device. jax dispatch is async, so
+        the host's group collection + batch stacking + pytree
+        marshalling for N+1 overlap the device's execution of N instead
+        of serializing behind a per-dispatch sync (measured ~0.1 s/iter
+        of det dispatch gap on the tunnel host, PERF.md round 4). The
+        param/opt-state chain lives on device (donated buffers, in-order
+        stream), so trajectories are bit-identical to the unpipelined
+        loop; only host-side hook PROCESSING lags by one group — and the
+        pipeline drains early whenever a params-reading hook fires at a
+        group's end (``_param_hook_fires_at``), so checkpoint/eval hooks
+        still see exactly their step's params."""
         import collections
 
         import numpy as np
@@ -349,35 +377,20 @@ class IterBasedRunner:
         state = {"it": self._make_iter(multi_loader),
                  "buf": collections.deque()}
         seen_shapes = set()
+        pending = None          # deferred group awaiting host processing
         t_last = time.perf_counter()
-        while self.step < self.max_iters and not self._should_stop():
-            k_eff = min(K, self._hook_boundary())
-            (task, dataset_name, img_shape, *_), group = self._next_group(
-                state, multi_loader, k_eff)
-            if (task, img_shape, len(group)) not in seen_shapes:
-                seen_shapes.add((task, img_shape, len(group)))
-                self.logger.info(
-                    "scan-dispatch: first (%s, img=%s, n=%d) group — "
-                    "compiling a new scan graph (slow once per shape)",
-                    task, img_shape, len(group))
-            t_data = time.perf_counter()
-            self._maybe_profile()
-            batches = self._stack_group(group)
-            import jax.numpy as jnp
-            idxs = jnp.asarray(
-                np.arange(self.step, self.step + len(group)), jnp.int32)
-            self.params, self.opt_state, lvs = self.scan_steps[task](
-                self.params, self.opt_state, batches, self._root_key,
-                idxs)
+
+        def flush(p):
+            nonlocal t_last
+            lvs = {k: host_value(v) for k, v in p["lvs"].items()}  # sync
             t_now = time.perf_counter()
-            n = len(group)
+            n = p["n"]
             per_step_time = (t_now - t_last) / n
-            per_step_data = (t_data - t_last) / n
-            lvs = {k: host_value(v) for k, v in lvs.items()}
+            per_step_data = p["t_collect"] / n
             for i in range(n):
                 self.step += 1
                 self.log_vars = {
-                    (f"{task}.{dataset_name}.{k}"
+                    (f"{p['task']}.{p['ds']}.{k}"
                      if k not in ("grad_norm",) else k): float(v[i])
                     for k, v in lvs.items()}
                 self.log_vars["data_time"] = per_step_data
@@ -385,6 +398,39 @@ class IterBasedRunner:
                 for h in self._hooks:
                     h.after_train_iter(self)
             t_last = time.perf_counter()
+
+        dispatched = self.step       # device-side step (>= self.step)
+        while dispatched < self.max_iters and not self._should_stop():
+            k_eff = min(K, self._hook_boundary(dispatched))
+            t0 = time.perf_counter()
+            (task, dataset_name, img_shape, *_), group = self._next_group(
+                state, multi_loader, k_eff)
+            t_collect = time.perf_counter() - t0
+            if (task, img_shape, len(group)) not in seen_shapes:
+                seen_shapes.add((task, img_shape, len(group)))
+                self.logger.info(
+                    "scan-dispatch: first (%s, img=%s, n=%d) group — "
+                    "compiling a new scan graph (slow once per shape)",
+                    task, img_shape, len(group))
+            self._maybe_profile()
+            batches = self._stack_group(group)
+            import jax.numpy as jnp
+            n = len(group)
+            idxs = jnp.asarray(
+                np.arange(dispatched, dispatched + n), jnp.int32)
+            self.params, self.opt_state, lvs = self.scan_steps[task](
+                self.params, self.opt_state, batches, self._root_key,
+                idxs)
+            dispatched += n
+            if pending is not None:
+                flush(pending)
+            pending = dict(task=task, ds=dataset_name, n=n, lvs=lvs,
+                           t_collect=t_collect)
+            if self._param_hook_fires_at(dispatched):
+                flush(pending)
+                pending = None
+        if pending is not None:
+            flush(pending)
         for h in self._hooks:
             h.after_run(self)
         self.logger.info("training %s at iter %d",
