@@ -21,6 +21,16 @@ Optimizer moments (``mu``/``nu`` mirror param shapes) shard identically.
 
 Sharding a dim that is not divisible by the ``model`` axis size falls back
 to replicated for that leaf — correctness never depends on divisibility.
+
+STATUS (measured 2026-08-21, VERDICT r4 #5 — PERF.md "TP vs DP measured
+once"): at this model scale TP is RETIRED as a production topology —
+dp×tp=4×2 measured 30% slower than dp=8 at equal device count
+(10.83 → 7.62 img/s on the 8-device mesh; every per-task step 44-69%
+slower than the dp=4 control at the same data world). A 28 M-param
+backbone needs neither TP's memory relief (FSDP is free at step time)
+nor its FLOP split (DP provides it whenever batch >= chips). This module
+remains the mechanism — and the fused-qkv layout rules below the map —
+for backbones that genuinely pressure HBM.
 """
 
 from __future__ import annotations
