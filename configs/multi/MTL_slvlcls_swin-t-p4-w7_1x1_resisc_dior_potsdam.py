@@ -167,9 +167,11 @@ optimizer_config = dict(grad_clip=dict(max_norm=0.1, norm_type=2))
 lr_config = dict(policy="step", step=[240000, 285000])
 # steps_per_dispatch: K same-task steps per jitted lax.scan dispatch —
 # amortizes the per-iteration host dispatch (pytree marshalling) that
-# dominates on slow hosts (PERF.md; K=1 restores exact per-iter mode)
+# dominates on slow hosts (K=1 restores exact per-iter mode). K=16
+# measured 1.15x faster than K=8 at soak length (2000 iters, ~1950
+# clean iters each — PERF.md round-5 K table).
 runner = dict(type="IterBasedRunner", max_iters=300000,
-              steps_per_dispatch=8)
+              steps_per_dispatch=16)
 checkpoint_config = dict(interval=100000)
 log_config = dict(interval=300)
 

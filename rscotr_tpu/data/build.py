@@ -213,12 +213,23 @@ def build_iteration_strategy(cfg, loaders, seed: int = 0):
 
 
 def derive_dn_ladder(cfg):
-    """(dn_max_gt, max_gt) DN group-width ladder for the det collate —
-    mirrors apis.make_step_config's CdnConfig derivation (keep the two in
-    sync). The reference widens every DN group to the runtime batch max
-    GT (query_denoising.py:97,121-123); collates quantize that max to
-    this static ladder so crowded images keep full DN coverage at a
-    bounded compiled-graph count."""
+    """DN group-width ladder for the det collate — mirrors
+    apis.make_step_config's CdnConfig derivation (keep the two in sync).
+
+    The reference sizes DN groups from the runtime batch max GT count n:
+    ``single_pad = n``, ``num_groups = num_dn // n``
+    (query_denoising.py:97,121-123).  Collates quantize n UP to this
+    static ladder so crowded images keep full DN coverage at a bounded
+    compiled-graph count.  Beyond the {dn_max_gt, max_gt} endpoints the
+    ladder carries one rung ``num_dn // g`` for EVERY group count g the
+    reference can produce for n in (dn_max_gt, max_gt]; by the floor-
+    division identity ``N // (N // (N // n)) == N // n`` the quantized
+    width then reproduces the reference's ``num_groups`` exactly for
+    every GT count — a 30-GT DIOR image gets the reference's 3 groups
+    (90 DN positives), not 1 (flagship N=100 ladder:
+    {20, 25, 33, 50, 100}).  Width still pads UP (rung >= n), so padded
+    DN slots beyond n are masked, never-truncated — coverage-conservative
+    exactly as before."""
     bh = (cfg.get("model", {}) or {}).get("bbox_head") or {}
     if not bh or not bh.get("dn_cfg"):
         return None
@@ -236,7 +247,17 @@ def derive_dn_ladder(cfg):
                 # where >dn_max_gt-GT images are common may prefer this.
                 return None
     dn_max_gt = min(gc.get("dn_max_gt", 20), max_gt)
-    return tuple(sorted({dn_max_gt, max_gt}))
+    num_dn = gc.get("num_dn_queries", 100) or 100
+    rungs = {dn_max_gt, max_gt}
+    if dn_max_gt < max_gt:
+        # one rung per achievable reference group count in (dn_max_gt,
+        # max_gt]: g ranges from 1 up to the count at n = dn_max_gt + 1
+        g_top = max(num_dn // (dn_max_gt + 1), 1)
+        for g in range(1, g_top + 1):
+            r = num_dn // g
+            if dn_max_gt < r <= max_gt:
+                rungs.add(r)
+    return tuple(sorted(rungs))
 
 
 def build_multidataloader(cfg, datasets: Dict[str, object],

@@ -404,20 +404,98 @@ class TestCdnGroupWidening:
                         jnp.asarray(gt_valid), cfg)
         assert float(t["num_pos"]) == 6 * cfg.num_groups
 
-    def test_derive_dn_ladder(self):
-        from rscotr_tpu.data.build import derive_dn_ladder
-        cfg = {"model": {"bbox_head": {"dn_cfg": {"group_cfg": {
-                   "num_dn_queries": 100}}}},
-               "data": {"dior": {"task": "det",
-                                 "loader": {"max_gt": 100}}}}
-
-        class D(dict):
-            def get(self, k, d=None):
-                return dict.get(self, k, d)
-        cfg = {"model": cfg["model"], "data": cfg["data"],
-               "get": None}
+    @staticmethod
+    def _ladder_cfg(num_dn=100, max_gt=100, dn_max_gt=None):
         import types
-        ns = types.SimpleNamespace(**cfg)
+        gc = {"num_dn_queries": num_dn}
+        if dn_max_gt is not None:
+            gc["dn_max_gt"] = dn_max_gt
+        ns = types.SimpleNamespace(
+            model={"bbox_head": {"dn_cfg": {"group_cfg": gc}}},
+            data={"dior": {"task": "det", "loader": {"max_gt": max_gt}}})
         ns.get = lambda k, d=None: getattr(ns, k, d)
-        ns.data = cfg["data"]
-        assert derive_dn_ladder(ns) == (20, 100)
+        return ns
+
+    def test_derive_dn_ladder(self):
+        """VERDICT r4 #1/#8 regression guard: the flagship ladder must
+        carry the exact-parity intermediate rungs {25, 33, 50}, not just
+        the {20, 100} endpoints (the 2-rung ladder gave 21-50-GT images
+        1 DN group where the reference builds 2-4)."""
+        from rscotr_tpu.data.build import derive_dn_ladder
+        assert derive_dn_ladder(self._ladder_cfg()) == (20, 25, 33, 50,
+                                                        100)
+        # other shapes: num_dn=60 over (20, 40] adds only the g=2 rung
+        assert derive_dn_ladder(
+            self._ladder_cfg(num_dn=60, max_gt=40)) == (20, 30, 40)
+        # dn_max_gt == max_gt: degenerate single-rung ladder
+        assert derive_dn_ladder(
+            self._ladder_cfg(max_gt=20)) == (20,)
+        # max_gt above num_dn: g=1 for every n > num_dn (reference
+        # clamps num_dn // n = 0 up to 1) — top rung covers it
+        assert derive_dn_ladder(
+            self._ladder_cfg(max_gt=150)) == (20, 25, 33, 50, 100, 150)
+
+    def test_ladder_group_count_parity_every_n(self):
+        """The floor-division identity the ladder rests on: quantizing
+        the batch max GT n UP to the nearest rung reproduces the
+        reference's ``num_groups = num_dn // max(known_num)``
+        (query_denoising.py:97,36-53) EXACTLY for every n in
+        (dn_max_gt, max_gt] — not just at the rungs."""
+        import dataclasses as dc
+        from rscotr_tpu.data.loader import dn_wide_marker
+        for num_dn, dn_max_gt, max_gt in ((100, 20, 100), (60, 20, 40),
+                                          (100, 10, 100), (48, 5, 64)):
+            from rscotr_tpu.data.build import derive_dn_ladder
+            ladder = derive_dn_ladder(self._ladder_cfg(
+                num_dn=num_dn, max_gt=max_gt, dn_max_gt=dn_max_gt))
+            base = CdnConfig(num_classes=20, num_queries=900,
+                             max_gt=max_gt, num_dn_queries=num_dn,
+                             dn_max_gt=dn_max_gt)
+            for n in range(dn_max_gt + 1, max_gt + 1):
+                rung = dn_wide_marker(n, ladder).shape[1]
+                cfg = dc.replace(base, dn_max_gt=rung)
+                assert cfg.num_groups == ref_get_num_groups(num_dn, n), (
+                    num_dn, dn_max_gt, max_gt, n, rung)
+                assert rung >= n          # never truncates
+
+    @pytest.mark.parametrize("n,ref_groups", [(22, 4), (30, 3), (40, 2),
+                                              (60, 1)])
+    def test_crowded_band_density_vs_reference_oracle(self, n,
+                                                      ref_groups):
+        """VERDICT r4 #1/#8 done-criterion: for 21-100-GT images under
+        FLAGSHIP settings (num_dn=100, dn_max_gt=20, max_gt=100), drive
+        the REAL path (derive_dn_ladder -> collate dn_wide marker ->
+        det_loss_fn's dataclasses.replace) and assert group count, DN
+        positives count, and pad size against the reference oracle."""
+        import dataclasses as dc
+        from rscotr_tpu.data.build import derive_dn_ladder
+        from rscotr_tpu.data.loader import collate_det
+        ladder = derive_dn_ladder(self._ladder_cfg())
+        rng = np.random.default_rng(n)
+        boxes = np.abs(rng.standard_normal((n, 4))).astype(np.float32)
+        samples = [{"img": np.zeros((16, 16, 3), np.float32),
+                    "gt_bboxes": boxes,
+                    "gt_labels": rng.integers(0, 20, n).astype(np.int32)}]
+        batch = collate_det(samples, bucket_hw=(16, 16), max_gt=100,
+                            dn_ladder=ladder)
+        rung = batch["dn_wide"].shape[1]
+        base = CdnConfig(num_classes=20, num_queries=900, max_gt=100,
+                         num_dn_queries=100, dn_max_gt=20)
+        cfg = dc.replace(base, dn_max_gt=rung)   # == det_loss_fn
+        # reference oracle: num_groups from the runtime batch max
+        assert ref_get_num_groups(100, n) == ref_groups
+        assert cfg.num_groups == ref_groups
+        # pad_size parity is exact when the rung lands on n itself;
+        # otherwise ours pads wider (masked slots), never narrower
+        ref_pad = 2 * n * ref_groups
+        assert cfg.pad_size >= ref_pad
+        # DN supervision density: every one of the n GTs gets
+        # ref_groups positives and ref_groups negatives
+        t = cdn_targets(jnp.asarray(batch["gt_bboxes"]),
+                        jnp.asarray(batch["gt_labels"]),
+                        jnp.asarray(batch["gt_valid"]), cfg)
+        assert float(t["num_pos"]) == n * ref_groups
+        w = np.asarray(t["bbox_weights"])[0, :, 0]
+        per_gt = w.reshape(-1, cfg.single_pad).sum(0)
+        assert (per_gt[:n] == ref_groups).all()
+        assert (per_gt[n:] == 0).all()

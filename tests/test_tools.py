@@ -124,6 +124,16 @@ class TestBenchmarkCLI:
         assert entry["train_ms"] > 0
 
 
+class TestProbeH2dWindow:
+    def test_reports_all_row_buckets(self):
+        probe = _load("tools/probe_h2d_window.py", "probe_h2d")
+        report = probe.main(["--reps", "1", "--batch", "1",
+                             "--rows", "16", "8"])
+        assert set(report) == {16, 8}
+        for v in report.values():
+            assert v["s_per_dispatch"] > 0 and v["MB_per_s"] > 0
+
+
 class TestDrawFeatmap:
     def test_reductions_and_montage(self):
         dfm = _load("tools/featmap_vis/draw_featmap.py", "dfm")

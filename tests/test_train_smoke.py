@@ -152,6 +152,42 @@ class TestEndToEnd:
         cnt_bb = jax.tree.leaves(s["count"]["backbone"])[0]
         assert int(cnt_bb) == 6  # backbone touched every step
 
+    def test_det_step_with_widened_dn_ladder(self, setup):
+        """End-to-end widened-DN path (VERDICT r4 #1/#8): a det batch
+        whose collate picked a ladder rung ABOVE dn_max_gt must compile
+        and run the full train step at the widened width — the graph
+        det_loss_fn builds via ``dataclasses.replace`` from the
+        ``dn_wide`` leaf shape (engine/train_step.py), with the
+        reference's group count for that rung."""
+        import dataclasses as dc
+        model, params, step_cfg, cdn_cfg = setup
+        # num_dn=6, dn_max_gt=2, max_gt=6 -> exact-parity ladder {2,3,6}
+        cdn_narrow = dc.replace(cdn_cfg, dn_max_gt=2)
+        cfg_w = dc.replace(step_cfg, cdn=cdn_narrow)
+        assert cdn_narrow.num_groups == 3
+        opt = build_optimizer(dict(type="AdamW", lr=1e-4,
+                                   weight_decay=1e-4),
+                              params["params"],
+                              lr_config=dict(policy="fixed"))
+        opt_state = opt.init(params["params"])
+        step = make_train_step(model, opt, "det", cfg_w, donate=False)
+        rng = np.random.default_rng(5)
+        samples = [{"img": rng.uniform(0, 1, (64, 64, 3)
+                                       ).astype(np.float32),
+                    "gt_bboxes": np.array([[2, 2, 20, 20],
+                                           [10, 12, 40, 44],
+                                           [30, 30, 60, 60]], np.float32),
+                    "gt_labels": np.array([0, 1, 2], np.int32)}
+                   for _ in range(2)]
+        batch = collate_det(samples, (64, 64), 6, dn_ladder=(2, 3, 6))
+        assert batch["dn_wide"].shape == (0, 3)    # widened rung chosen
+        # reference oracle: num_groups = 6 // 3 = 2 at the rung
+        wide = dc.replace(cdn_narrow, dn_max_gt=3)
+        assert wide.num_groups == 2 and wide.pad_size == 12
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, _, logs = step(params, opt_state, batch, jax.random.key(9))
+        assert np.isfinite(float(logs["loss"]))
+
     def test_cls_loss_decreases_on_fixed_batch(self, setup):
         """Training-correctness regression: repeated steps on one fixed
         batch must drive the loss down (grads, masking, optimizer and LR

@@ -163,7 +163,8 @@ def bench_loader_only(cfg, datasets, world_size, draws, logger):
     return draws / dt, imgs / dt
 
 
-def bench_train(cfg, n_devices, iters, warmup, logger, fsdp=False):
+def bench_train(cfg, n_devices, iters, warmup, logger, fsdp=False,
+                tp=False):
     import numpy as np
     import jax
 
@@ -187,7 +188,22 @@ def bench_train(cfg, n_devices, iters, warmup, logger, fsdp=False):
 
     mesh = None
     sharding = None
-    if n_devices > 1:
+    if tp:
+        # (data x model) 2-D mesh: dp = n/2, tp = 2 (VERDICT r4 #5 —
+        # the dp*tp step-time vs pure-dp row that retires TP at this
+        # model scale). The data axis carries n/2 of the global batch;
+        # world_size for the loader stays n/2 so per-step batch work
+        # matches the dp=n/2 column, and the comparison row is dp=n.
+        assert n_devices % 2 == 0 and n_devices >= 4
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rscotr_tpu.parallel import (make_mesh_2d, shard_opt_state_tp,
+                                         shard_params_tp, tp_param_specs)
+        mesh = make_mesh_2d(n_devices // 2, 2)
+        params = shard_params_tp(params, mesh)
+        opt_state = shard_opt_state_tp(
+            opt_state, tp_param_specs(params["params"], mesh), mesh)
+        sharding = NamedSharding(mesh, P("data"))
+    elif n_devices > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh = make_mesh(n_devices)
         if fsdp:
@@ -204,7 +220,8 @@ def bench_train(cfg, n_devices, iters, warmup, logger, fsdp=False):
 
     datasets = build_datasets(cfg.data, split="train")
     ml = build_multidataloader(cfg, datasets, seed=0,
-                               world_size=n_devices)
+                               world_size=n_devices // 2 if tp
+                               else n_devices)
     it = iter(ml)
 
     def place(b):
@@ -257,6 +274,10 @@ def main(argv=None):
     ap.add_argument("--fsdp", action="store_true",
                     help="also measure with params + Adam moments sharded "
                          "over the data axis (parallel/fsdp.py)")
+    ap.add_argument("--tp", action="store_true",
+                    help="also measure a (data x model) n/2 x 2 mesh with "
+                         "Megatron-style tensor-parallel param sharding "
+                         "(parallel/tp.py) — the dp*tp vs pure-dp row")
     args = ap.parse_args(argv)
 
     logger = get_root_logger()
@@ -299,6 +320,17 @@ def main(argv=None):
                 for k, v in r.items()}
             logger.info("train fsdp n=%d: %.3f steps/s, %.1f img/s, %s",
                         n, r["steps_per_s"], r["img_per_s"],
+                        r["per_task_ms"])
+    if args.tp:
+        results["train_tp"] = {}
+        for n in [d for d in args.devices if d % 2 == 0 and d >= 4]:
+            r = bench_train(cfg, n, args.iters, args.warmup, logger,
+                            tp=True)
+            results["train_tp"][f"{n // 2}x2"] = {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in r.items()}
+            logger.info("train dp*tp %dx2: %.3f steps/s, %.1f img/s, %s",
+                        n // 2, r["steps_per_s"], r["img_per_s"],
                         r["per_task_ms"])
 
     with open(args.out, "w") as f:

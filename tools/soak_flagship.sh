@@ -26,7 +26,7 @@ timeout --signal=TERM "${KILL_S}" \
     --max-iters "$ITERS" \
     --cfg-options evaluation.interval=250 \
                   checkpoint_config.interval=100000 \
-                  log_config.interval=8
+                  log_config.interval=16
 echo "phase 1 rc=$? (124 = timeout fired, expected)"
 
 LAST=$(ls -d "$WD"/iter_* 2>/dev/null | sed 's/.*iter_//' | sort -n | tail -1)
@@ -38,7 +38,7 @@ python tools/train.py "$CFG" --work-dir "$WD" \
   --max-iters "$ITERS" --auto-resume \
   --cfg-options evaluation.interval=250 \
                 checkpoint_config.interval=100000 \
-                log_config.interval=8
+                log_config.interval=16
 RC=$?
 echo "phase 2 rc=$RC"
 [ "$RC" -eq 0 ] || { echo "SOAK FAIL: resume leg rc=$RC"; exit 1; }
