@@ -36,15 +36,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DEFAULT_MIN_LEAF_SIZE = 2 ** 14
 
 
+import re
+
+# Swin window-attention kernels need a FIXED shard dim — the default
+# largest-dim heuristic makes GSPMD fall back to involuntary full
+# rematerialization of the window-attn brick (spmd_partitioner warnings
+# in the cold-compiled FSDP det leg; measured 6 -> 0 by this table,
+# loss bit-identical):
+# * ``attn/qkv/kernel`` (C, 3C) shards dim 0 (input): its 3C output
+#   features are laid out (3, H, hd) with the 3 MAJOR, so an output-dim
+#   split crosses the q/k/v boundary and the (B_, n, 3, H, hd) reshape
+#   is unpartitionable — the layout hazard tp.py documents for column
+#   sharding.
+# * ``attn/proj/kernel`` (C, C) shards dim 1 (output): its INPUT dim
+#   contracts against the attention output (features = H·hd), and
+#   sharding a contraction dim makes the partitioner propagate a
+#   head-dim sharding BACKWARD through the whole softmax/weighted-sum
+#   brick, colliding with the batch sharding.
+# Either way the leaf's at-rest memory is 1/axis_size and GSPMD
+# all-gathers the kernel right before use; the activation partition
+# stays pure batch-sharded.
+_FIXED_DIM_PATHS: Tuple[Tuple[re.Pattern, int], ...] = (
+    (re.compile(r"/attn/qkv/kernel$"), 0),
+    (re.compile(r"/attn/proj/kernel$"), 1),
+)
+
+
 def _fsdp_spec(shape: Tuple[int, ...], axis_size: int, axis_name: str,
-               base: P, min_size: int) -> P:
-    """Shard the largest not-yet-sharded, divisible dim over ``axis_name``."""
+               base: P, min_size: int,
+               fixed_dim: Optional[int] = None) -> P:
+    """Shard the largest not-yet-sharded, divisible dim over ``axis_name``
+    (``fixed_dim``: only consider this dim — see _FIXED_DIM_PATHS)."""
     if not shape or int(np.prod(shape)) < min_size:
         return base
     taken = set(base) if base else set()
     if axis_name in taken:
         return base
     dims = sorted(range(len(shape)), key=lambda d: -shape[d])
+    if fixed_dim is not None:
+        dims = [fixed_dim] if fixed_dim < len(shape) else []
     for d in dims:
         already = base[d] if base and d < len(base) else None
         if already is not None:
@@ -68,16 +98,21 @@ def fsdp_param_specs(params: Any, mesh: Mesh, axis_name: str = "data",
     ``tp_param_specs``) seeds each leaf's spec; FSDP adds the ``data`` axis
     on top where a free divisible dim exists."""
     axis_size = mesh.shape.get(axis_name, 1)
-    flat, treedef = jax.tree_util.tree_flatten(params)
+    flat_kp = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree.structure(params)
     if base_specs is None:
-        base_flat = [P()] * len(flat)
+        base_flat = [P()] * len(flat_kp)
     else:
         base_flat = [s.spec for s in jax.tree.leaves(
             base_specs, is_leaf=lambda x: isinstance(x, NamedSharding))]
     shardings = []
-    for leaf, base in zip(flat, base_flat):
+    for (keypath, leaf), base in zip(flat_kp, base_flat):
+        path = "/" + "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        fixed = next((d for pat, d in _FIXED_DIM_PATHS
+                      if pat.search(path)), None)
         spec = _fsdp_spec(tuple(getattr(leaf, "shape", ())), axis_size,
-                          axis_name, base, min_leaf_size)
+                          axis_name, base, min_leaf_size, fixed_dim=fixed)
         shardings.append(NamedSharding(mesh, spec))
     return jax.tree.unflatten(treedef, shardings)
 

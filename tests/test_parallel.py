@@ -196,6 +196,32 @@ def test_fsdp_specs_compose_with_tp():
     assert got["plain/kernel"] == P("data")  # largest free dim
 
 
+def test_fsdp_swin_attn_fixed_dims(cpu_mesh):
+    """Swin window-attn kernels shard on a FIXED dim (qkv: input dim 0,
+    proj: output dim 1) — the largest-dim heuristic on either leaf makes
+    GSPMD involuntarily rematerialize the whole window-attn brick
+    (spmd_partitioner warnings measured 6 -> 0 with these specs; see
+    parallel/fsdp.py _FIXED_DIM_PATHS)."""
+    from rscotr_tpu.parallel import fsdp_param_specs
+
+    params = {
+        "backbone/stage3_block0/attn/qkv/kernel":
+            np.zeros((256, 768), np.float32),
+        "backbone/stage3_block0/attn/proj/kernel":
+            np.zeros((256, 256), np.float32),
+        # qkv whose input dim is NOT divisible falls back to replicated
+        # (never to the boundary-crossing output split)
+        "backbone/stageX_blockY/attn/qkv/kernel":
+            np.zeros((100, 768), np.float32),
+    }
+    got = {k: s.spec for k, s in
+           fsdp_param_specs(params, cpu_mesh).items()}
+    assert got["backbone/stage3_block0/attn/qkv/kernel"] == P("data")
+    assert got["backbone/stage3_block0/attn/proj/kernel"] == \
+        P(None, "data")
+    assert got["backbone/stageX_blockY/attn/qkv/kernel"] == P()
+
+
 def test_runner_places_batch_on_mesh(cls_setup, cpu_mesh):
     from rscotr_tpu.engine.runner import IterBasedRunner
 
